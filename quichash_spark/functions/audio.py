@@ -1,0 +1,169 @@
+"""Audio codec dispatch + PCM analysis kernels (pure numpy).
+
+Mirrors the reference's streaming hash loop over file bytes
+(``/root/reference/src/hash.rs:669-739``) but inverted for Spark: bytes
+arrive as Arrow binary columns and are decoded per batch inside
+``mapInPandas`` kernels (quichash streams one file through many hashers;
+we stream many rows through one vectorized kernel).
+
+Codecs: the fixture corpus (FIXTURES.md) uses two trivially decodable
+codecs so no external audio libraries are required:
+
+- ``pcm16``        raw little-endian int16 PCM
+- ``pcm16_padded`` the same, preceded by a fixed 64-byte header
+
+Real-world codecs (opus/mp3/flac) are registered as STUBS that raise
+``NotImplementedError`` — the Spark-side plumbing (schema, batching,
+dispatch) is identical, only the byte->PCM kernel would differ on a
+cluster with codec libs installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from quichash_spark.config import MIX64, DedupConfig
+
+PCM16_PADDED_HEADER = 64
+
+_U64 = np.uint64
+
+
+def _decode_pcm16(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype="<i2")
+
+
+def _decode_pcm16_padded(data: bytes) -> np.ndarray:
+    return np.frombuffer(data[PCM16_PADDED_HEADER:], dtype="<i2")
+
+
+def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
+    def _raise(_: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            f"codec {codec!r}: decoder not available in this environment; "
+            "register a real kernel in CODECS on a cluster with audio libs"
+        )
+
+    return _raise
+
+
+#: codec name -> bytes->int16-PCM decoder. The registry mirrors
+#: quichash's HashRegistry::get_hasher (src/hash.rs:320-343).
+CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "pcm16": _decode_pcm16,
+    "pcm16_padded": _decode_pcm16_padded,
+    "opus": _stub("opus"),
+    "mp3": _stub("mp3"),
+    "flac": _stub("flac"),
+}
+
+
+def decode_pcm(data: bytes | None, codec: str) -> np.ndarray | None:
+    """Decode bytes to int16 PCM; None / unknown codec => None (row is
+    counted in metrics, not fatal — FIXTURES.md §4 malformed-input rule)."""
+    if data is None:
+        return None
+    dec = CODECS.get(codec)
+    if dec is None:
+        return None
+    try:
+        return dec(bytes(data))
+    except NotImplementedError:
+        raise
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# SNR verification kernel (BASELINE.json input_hint: allclose SNR >= 30 dB)
+# ---------------------------------------------------------------------------
+
+def snr_db(ref: np.ndarray, other: np.ndarray, cap: float = 999.0) -> float:
+    """SNR of ``other`` vs ``ref`` in dB over the common prefix length.
+
+    Bit-identical => ``cap``; empty/zero-signal reference => -inf unless
+    identical.  Length mismatch is handled by comparing the overlapping
+    prefix (containment pairs are prefix slices, FIXTURES.md §1).
+    """
+    n = min(ref.size, other.size)
+    if n == 0:
+        return cap if ref.size == other.size else float("-inf")
+    a = ref[:n].astype(np.float64)
+    b = other[:n].astype(np.float64)
+    noise = a - b
+    p_noise = float(np.dot(noise, noise))
+    if p_noise == 0.0:
+        return cap
+    p_sig = float(np.dot(a, a))
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+# ---------------------------------------------------------------------------
+# PCM frame fingerprint (Haitsma-Kalker-style sign-of-difference bits)
+# ---------------------------------------------------------------------------
+
+def pcm_frame_bits(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """Per-frame robust feature words (uint64, one per frame).
+
+    Frames of ``cfg.frame_len`` samples at hop ``cfg.frame_hop``; per frame
+    compute ``cfg.pcm_bands`` coarse spectral band energies (rfft magnitude
+    sums) and emit the sign of the band-to-band energy *difference* — the
+    Haitsma-Kalker trick, robust to gain changes and additive noise at the
+    >=30 dB SNR the verify gate targets.
+    """
+    if pcm is None or pcm.size < cfg.frame_len:
+        return np.empty(0, dtype=np.uint64)
+    n_frames = 1 + (pcm.size - cfg.frame_len) // cfg.frame_hop
+    idx = (
+        np.arange(cfg.frame_len)[None, :]
+        + np.arange(n_frames)[:, None] * cfg.frame_hop
+    )
+    frames = pcm[idx].astype(np.float64)
+    spec = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame_len//2+1)
+    nbin = spec.shape[1] - 1
+    edges = np.linspace(1, nbin + 1, cfg.pcm_bands + 1, dtype=int)
+    energies = np.empty((n_frames, cfg.pcm_bands), dtype=np.float64)
+    for b in range(cfg.pcm_bands):
+        energies[:, b] = spec[:, edges[b] : edges[b + 1]].sum(axis=1)
+    diff = np.diff(energies, axis=1) > 0  # (n_frames, pcm_bands-1)
+    words = np.zeros(n_frames, dtype=np.uint64)
+    for b in range(diff.shape[1]):
+        words |= diff[:, b].astype(np.uint64) << _U64(b)
+    return words
+
+
+def pcm_shingle_hashes(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """uint64 hashes of k-frame shingles of the frame-bit sequence.
+
+    The PCM analog of text shingles: consecutive ``cfg.pcm_k_shingle``
+    frame words folded with the splitmix constant; de-duplicated.
+    """
+    words = pcm_frame_bits(pcm, cfg)
+    k = cfg.pcm_k_shingle
+    if words.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if words.size < k:
+        padded = np.zeros(k, dtype=np.uint64)
+        padded[: words.size] = words
+        words = padded
+    mix = _U64(MIX64)
+    with np.errstate(over="ignore"):
+        acc = np.full(words.size - k + 1, _U64(0x13198A2E03707344), dtype=np.uint64)
+        for r in range(k):
+            acc = (acc ^ words[r : r + acc.size]) * mix
+            acc ^= acc >> _U64(31)
+    return np.unique(acc)
+
+
+__all__ = [
+    "CODECS",
+    "PCM16_PADDED_HEADER",
+    "decode_pcm",
+    "snr_db",
+    "pcm_frame_bits",
+    "pcm_shingle_hashes",
+]

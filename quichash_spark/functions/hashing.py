@@ -1,0 +1,197 @@
+"""Pure-numpy signature kernels, shared by the Spark pandas UDFs and the
+single-node oracle.
+
+This is the analog of the reference's ``Hasher`` trait + registry
+(``/root/reference/src/hash.rs:12-21,320-343``): a small set of
+deterministic kernels behind stable entry points.  The engine-level
+inversion vs the reference: quichash streams ONE file through MANY hashers
+(src/hash.rs:814-967); we stream MANY rows through ONE vectorized kernel
+per Arrow batch.
+
+All kernels are seed-frozen via :mod:`quichash_spark.config` and contain no
+randomness at call time, so any partitioning of the input produces
+identical signatures (required for local[8] == local[32] equivalence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from quichash_spark.config import MIX64, DedupConfig
+
+_U64 = np.uint64
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# byte-level hashing (quichash P1/F1: src/hash.rs:595-667)
+# ---------------------------------------------------------------------------
+
+def content_hash(pcm: np.ndarray, transcript: str) -> str:
+    """sha256 hex of canonical PCM bytes + 0x00 + UTF-8 transcript.
+
+    The quichash-equivalent exact digest (ref P1, src/hash.rs:595-667) —
+    except it is computed over *decoded* PCM so two codec wrappings of the
+    same audio collide, which is the semantic the dedup stage needs.
+    """
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(pcm, dtype="<i2").tobytes())
+    h.update(b"\x00")
+    h.update(transcript.encode("utf-8"))
+    return h.hexdigest()
+
+
+def hash64(data: bytes) -> int:
+    """Deterministic 64-bit hash of bytes (blake2b/8) as unsigned int."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def hash64_str(s: str) -> int:
+    return hash64(s.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def tokens_of(transcript: str) -> list[str]:
+    """Whitespace tokenization (the frozen tokenizer)."""
+    return transcript.split()
+
+
+def shingle_hashes(transcript: str, k: int) -> np.ndarray:
+    """uint64 hashes of the k-token shingles of ``transcript``.
+
+    Fewer than k tokens => the whole token sequence is one shingle;
+    empty => empty array.  Returned array is de-duplicated (set semantics).
+    """
+    toks = tokens_of(transcript)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < k:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.fromiter(
+        (hash64_str(s) for s in set(shingles)), dtype=np.uint64, count=len(set(shingles))
+    )
+    out.sort()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) multiply-add permutation params, seed-frozen; a is odd."""
+    rng = np.random.default_rng(cfg.minhash_seed)
+    a = rng.integers(1, 1 << 63, size=cfg.num_perm, dtype=np.uint64) * _U64(2) + _U64(1)
+    b = rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64)
+    return a, b
+
+
+#: sentinel signature value for an empty shingle set
+EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) via multiply-shift permutations.
+
+    perm_i(x) = a_i * x + b_i  (mod 2^64, numpy wrap-around).  Deterministic
+    and partition-independent; empty input yields the EMPTY_SLOT sentinel so
+    two empty transcripts are (correctly) identical, never spuriously
+    similar to non-empty ones.
+    """
+    if hashes.size == 0:
+        return np.full(a.shape[0], EMPTY_SLOT, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = a[:, None] * hashes[None, :] + b[:, None]
+    return m.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """int64 band keys: splitmix-style fold of each band's row values.
+
+    Output dtype int64 (bit-cast) so it maps directly to Spark LongType.
+    """
+    v = sig.reshape(bands, rows)
+    acc = np.full(bands, _U64(0x243F6A8885A308D3), dtype=np.uint64)
+    mix = _U64(MIX64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc ^ v[:, r]) * mix
+            acc ^= acc >> _U64(29)
+    return acc.view(np.int64)
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Estimated Jaccard from two signatures."""
+    return float(np.mean(sig_a == sig_b))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _to_i64(u: int) -> int:
+    """Reinterpret a python uint64 value as signed int64 (Spark LongType)."""
+    u &= 0xFFFFFFFFFFFFFFFF
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def simhash64_i64(transcript: str) -> int:
+    """SimHash as signed int64 (bit-cast), the on-wire Spark representation."""
+    toks = tokens_of(transcript)
+    if not toks:
+        return 0
+    uniq: dict[str, int] = {}
+    for t in toks:
+        uniq[t] = uniq.get(t, 0) + 1
+    hs = np.fromiter((hash64_str(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    w = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)
+    votes = ((bits.astype(np.int64) * 2 - 1) * w[:, None]).sum(axis=0)
+    u = 0
+    for i in range(64):
+        if votes[i] > 0:
+            u |= 1 << i
+    return _to_i64(u)
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two signed-int64 bit patterns."""
+    return int(bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1"))
+
+
+def simhash_chunks_i64(sim: int, n_chunks: int) -> list[int]:
+    """Split a 64-bit simhash into ``n_chunks`` equal bit-chunks.
+
+    Pigeonhole: two values with Hamming distance <= n_chunks-1 share at
+    least one exact chunk, so grouping rows by (chunk_idx, chunk_value)
+    finds every pair within the Hamming ball exactly (then filter by true
+    distance).  Chunk values are small non-negative ints.
+    """
+    u = sim & 0xFFFFFFFFFFFFFFFF
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return [(u >> (i * width)) & mask for i in range(n_chunks)]
+
+
+__all__ = [
+    "content_hash",
+    "hash64",
+    "hash64_str",
+    "tokens_of",
+    "shingle_hashes",
+    "minhash_params",
+    "minhash_signature",
+    "band_hashes",
+    "minhash_jaccard",
+    "simhash64_i64",
+    "hamming64",
+    "simhash_chunks_i64",
+    "EMPTY_SLOT",
+]

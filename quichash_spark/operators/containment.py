@@ -1,0 +1,116 @@
+"""Containment-duplicate pass (stage 5 of SURVEY.md §7.0).
+
+Detects pairs where one transcript is a contiguous token-slice of the
+other (FIXTURES.md: A's tokens are a prefix slice of B's) inside LSH band
+buckets — a grouped ``applyInPandas`` because a whole candidate bucket
+must be seen at once (SURVEY.md §2.9).
+
+Containment is defined at TOKEN level on canonicalized transcripts
+(single-space joined):  contains(a, b)  <=>  " b " has " a " as a
+substring, a != b, a non-empty.  Token-level containment avoids
+pathological character-level matches (a 2-char transcript matching inside
+an unrelated word).
+
+Skew/scale notes:
+- operates on DISTINCT transcripts per bucket (equal transcripts are
+  handled by the exact/LSH channels), so a million-clip constant-text
+  bucket contributes ONE row here;
+- buckets above the LSH cap are already excluded upstream;
+- within a bucket, transcripts are sorted and neighbors prefix-scanned
+  (O(g log g), catches every prefix-slice pair); buckets small enough
+  (<= FULL_MATRIX_LIMIT distinct texts) additionally get the full
+  substring matrix so non-prefix containments are found too.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from quichash_spark.config import DedupConfig
+from quichash_spark.operators.lsh import band_table, bucket_sizes
+
+FULL_MATRIX_LIMIT = 256
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("thash_small", LongType()),
+        StructField("thash_big", LongType()),
+    ]
+)
+
+
+def _contains(small: str, big: str) -> bool:
+    return bool(small) and small != big and f" {big} ".find(f" {small} ") >= 0
+
+
+def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    texts = sorted(set(zip(pdf["transcript"], pdf["thash"])))
+    out_s: list[int] = []
+    out_b: list[int] = []
+    n = len(texts)
+    if n <= 1:
+        return pd.DataFrame({"thash_small": out_s, "thash_big": out_b})
+    if n <= FULL_MATRIX_LIMIT:
+        for i in range(n):
+            ti, hi = texts[i]
+            for j in range(n):
+                if i != j and _contains(ti, texts[j][0]):
+                    out_s.append(hi)
+                    out_b.append(texts[j][1])
+    else:
+        # prefix scan over the sort order: a prefix-slice pair sorts
+        # adjacently (possibly with other extensions of the same prefix in
+        # between, all of which also start with it)
+        for i in range(n - 1):
+            ti, hi = texts[i]
+            j = i + 1
+            while j < n and texts[j][0].startswith(ti):
+                if _contains(ti, texts[j][0]):
+                    out_s.append(hi)
+                    out_b.append(texts[j][1])
+                j += 1
+    return pd.DataFrame({"thash_small": out_s, "thash_big": out_b})
+
+
+def containment_candidates(
+    signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Candidate pairs (clip_a < clip_b, source='containment')."""
+    bands = band_table(signatures, cfg, "minhash_text")
+    sizes = bucket_sizes(bands)
+    kept_keys = sizes.filter(
+        (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.band_bucket_cap)
+    ).select("band_idx", "band_key")
+
+    texts = signatures.select(
+        "clip_id", "transcript", F.xxhash64("transcript").alias("thash")
+    )
+    bucket_texts = (
+        bands.join(kept_keys, ["band_idx", "band_key"])
+        .join(texts, "clip_id")
+        .select("band_idx", "band_key", "transcript", "thash")
+        .dropDuplicates(["band_idx", "band_key", "thash"])
+    )
+    text_pairs = (
+        bucket_texts.groupBy("band_idx", "band_key")
+        .applyInPandas(lambda pdf: _bucket_pairs(pdf), _PAIR_SCHEMA)
+        .dropDuplicates(["thash_small", "thash_big"])
+    )
+    # expand transcript pairs back to clip pairs
+    ta = texts.select(F.col("clip_id").alias("cid_s"), F.col("thash").alias("thash_small"))
+    tb = texts.select(F.col("clip_id").alias("cid_b"), F.col("thash").alias("thash_big"))
+    return (
+        text_pairs.join(ta, "thash_small")
+        .join(tb, "thash_big")
+        .filter(F.col("cid_s") != F.col("cid_b"))
+        .select(
+            F.least("cid_s", "cid_b").alias("clip_a"),
+            F.greatest("cid_s", "cid_b").alias("clip_b"),
+        )
+        .dropDuplicates(["clip_a", "clip_b"])
+        .withColumn("source", F.lit("containment"))
+    )

@@ -1,0 +1,1 @@
+"""quichash_spark — PySpark-native near-duplicate detection engine."""
