@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry():      flagship — full near-dup pipeline (signatures -> exact dedup
+              -> LSH/SimHash/containment candidates -> SNR verify ->
+              connected components) on the deterministic sf0.001 clips
+              corpus, returning per-cluster summaries.
+queries():    one entry per implemented operator (SURVEY.md §2 + the
+              training-data extensions); see quichash_spark.entry_queries.
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query; the
+              clip-pipeline / LSH-internal / ANN / streaming entries are
+              intentionally absent (rows-only checks).
 """
 
 from __future__ import annotations
@@ -12,27 +16,33 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quichash_spark.entry_queries import ORACLE_SQL, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on the sf0.001-scale clips corpus (200 clips):
+    end-to-end dedup clustering, reported as per-cluster aggregates."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import run_pipeline
+
+    clips = materialized_clips(spark, 200)
+    res = run_pipeline(spark, clips, "/tmp/quichash_ckpt/v2_entry_n200")
+    return (
+        res.clusters.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("clip_id")).alias("members"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -44,7 +44,13 @@ class DedupConfig:
     snr_cap_db: float = 999.0   # reported SNR for bit-identical PCM
 
     # --- LSH skew handling (north_rule) ---
-    band_bucket_cap: int = 2000    # max rows per (band, band_hash) bucket
+    # Buckets above the cap are excluded from pair generation and logged.
+    # A constant-transcript mega-group (the classic hot band) would emit
+    # O(g^2) pairs whose verification is doomed unless the members are
+    # byte-identical — and byte-identical members are already clustered by
+    # the content-hash channel, so dropping hot buckets costs no recall on
+    # true duplicates while bounding the join fan-out.
+    band_bucket_cap: int = 300     # max rows per (band, band_hash) bucket
     pair_cap_per_bucket: int = 50000  # max candidate pairs emitted per bucket
     salt_buckets: int = 16         # salt fan-out for hot-band repartitioning
 

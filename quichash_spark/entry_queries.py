@@ -1,0 +1,606 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL
+for every operator claimed in SURVEY.md §2 (and the training-data
+extensions), over the shared testdata tables.
+
+Naming rule (driver compares value-hashes after sorting columns BY NAME):
+every computed column is aliased identically in the Spark plan and the
+oracle SQL.  Counters are integers wherever possible; the few float
+columns are rounded to fixed decimals on both sides.
+
+Queries with no SQL-expressible oracle (LSH internals, clip pipeline,
+streaming, ANN) appear in QUERIES but not in ORACLE_SQL — the driver
+records the weaker rows-only check for those (per the driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quichash_spark.functions import text as T
+from quichash_spark.operators import compare as C
+from quichash_spark.operators import doc_dedup as D
+from quichash_spark.operators import similarity as S
+from quichash_spark.streaming.events import windowed_event_stats
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _doc_path() -> F.Column:
+    return F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path")
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup channels
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs).select("text_md5", F.col("n").cast("long").alias("n"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    p = D.ngram_jaccard_pairs(docs, k=3, threshold=0.4)
+    return p.select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    p = D.minhash_lsh_pairs(docs, k=3, threshold=0.4)
+    return p.select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs)
+
+
+_SHINGLE_CTE = """
+with toks as (
+  select doc_id, regexp_split_to_array(trim(text), '\\s+') as w from documents
+), sh as (
+  select doc_id,
+         case when len(w) < 3 then list_distinct([array_to_string(w, ' ')])
+              else list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+         end as shingles
+  from toks
+), pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         len(list_intersect(a.shingles, b.shingles)) as inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) as uni
+  from sh a join sh b on a.doc_id < b.doc_id
+)
+"""
+
+_JACCARD_SQL = (
+    _SHINGLE_CTE
+    + "select doc_a, doc_b, inter, uni from pairs where uni > 0 and inter * 1000 >= uni * 400"
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.n_tokens(c).cast("long").alias("n_tokens"),
+        T.n_punct(c).cast("long").alias("n_punct"),
+        T.n_digits(c).cast("long").alias("n_digits"),
+        T.n_stopwords(c).cast("long").alias("n_stopwords"),
+        T.total_token_chars(c).cast("long").alias("token_chars"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+def q_multi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P2 (single-pass multi-hash) + F3 (algorithm inference)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        T.algorithm_from_hash_length(F.md5("text")).alias("algo_md5"),
+        T.algorithm_from_hash_length(F.sha2(F.col("text"), 256)).alias("algo_sha256"),
+    )
+
+
+def _markers_sql(lang: str) -> str:
+    alt = "|".join(T.LANG_MARKERS[lang])
+    return f"len(regexp_extract_all(text, '\\b({alt})\\b'))"
+
+
+# ---------------------------------------------------------------------------
+# verify / compare / moved / anti (reference J1-J3, U2-U3)
+# ---------------------------------------------------------------------------
+
+
+def q_verify_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected snapshot vs deterministically mutated actual snapshot."""
+    docs = _read(spark, sf_dir, "documents")
+    expected = docs.select(_doc_path(), F.md5("text").alias("hash"))
+    actual = (
+        docs.filter(F.col("doc_id") % 11 != 0)  # missing on disk
+        .select(
+            _doc_path(),
+            F.md5(
+                F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("X")))
+                .otherwise(F.col("text"))
+            ).alias("hash"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(  # new files
+                F.concat(F.lit("doc_new_"), F.col("doc_id").cast("string")).alias("path"),
+                F.md5(F.concat(F.col("text"), F.lit("N"))).alias("hash"),
+            )
+        )
+    )
+    return C.verify_classify(expected, actual)
+
+
+def q_compare_dbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    db1 = docs.select(_doc_path(), F.md5("text").alias("hash"))
+    db2 = (
+        docs.filter(F.col("doc_id") % 9 != 0)  # removed
+        .select(
+            _doc_path(),
+            F.md5(
+                F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("Y")))
+                .otherwise(F.col("text"))
+            ).alias("hash"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                F.concat(F.lit("doc_add_"), F.col("doc_id").cast("string")).alias("path"),
+                F.md5(F.concat(F.col("text"), F.lit("A"))).alias("hash"),
+            )
+        )
+    )
+    return C.compare_dbs(db1, db2)
+
+
+def q_moved_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-equal files at different paths, zip-paired per hash group —
+    two old paths and two new paths per hash exercise the positional zip."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    h = F.md5("text").alias("hash")
+    removed = docs.select(
+        h, F.concat(F.lit("old/a/"), F.col("doc_id").cast("string")).alias("path")
+    ).unionByName(
+        docs.select(
+            h, F.concat(F.lit("old/b/"), F.col("doc_id").cast("string")).alias("path")
+        )
+    )
+    added = docs.select(
+        h, F.concat(F.lit("new/x/"), F.col("doc_id").cast("string")).alias("path")
+    ).unionByName(
+        docs.select(
+            h, F.concat(F.lit("new/y/"), F.col("doc_id").cast("string")).alias("path")
+        )
+    )
+    return C.moved_files(removed, added)
+
+
+def q_anti_new_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    fs = docs.select(_doc_path())
+    db = docs.filter(F.col("doc_id") % 3 != 0).select(_doc_path())
+    return C.new_files(fs, db)
+
+
+def q_analyze_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    entries = docs.select(F.md5("text").alias("hash"))
+    return C.analyze_summary(entries)
+
+
+def q_scan_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+def q_top_docs_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference B1/B2 sort+report shape with deterministic tie-break."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.topk_bruteforce(queries, emb, k=5)
+
+
+def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return S.neardup_pairs(emb, threshold=0.35)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_lsh_topk(queries, emb, k=5, dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + JSON extraction
+# ---------------------------------------------------------------------------
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return windowed_event_stats(ev)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem/orders: classic scan-agg and join-agg (engine breadth + bench)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# clips corpus (rows-only checks: non-SQL-expressible pipeline stages)
+# ---------------------------------------------------------------------------
+
+
+def _clips_n(sf_dir: str) -> int:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(200, int(sf * 50_000))
+
+
+def q_clips_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.udfs import compute_signatures
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    return compute_signatures(clips, CLIPS_CONFIG).drop("minhash_text", "minhash_pcm")
+
+
+def q_clips_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.exact_dedup import exact_duplicate_groups
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    sigs = compute_signatures(clips, CLIPS_CONFIG)
+    return exact_duplicate_groups(sigs).drop("clip_ids")
+
+
+def q_clips_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import run_pipeline
+
+    n = _clips_n(sf_dir)
+    clips = materialized_clips(spark, n)
+    res = run_pipeline(spark, clips, f"/tmp/quichash_ckpt/v2_n{n}")
+    return res.clusters
+
+
+def q_clips_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import run_pipeline
+
+    n = _clips_n(sf_dir)
+    clips = materialized_clips(spark, n)
+    res = run_pipeline(spark, clips, f"/tmp/quichash_ckpt/v2_n{n}")
+    return res.candidates
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multi_hash": q_multi_hash,
+    "verify_classification": q_verify_classification,
+    "compare_dbs": q_compare_dbs,
+    "moved_detection": q_moved_detection,
+    "anti_new_files": q_anti_new_files,
+    "analyze_summary": q_analyze_summary,
+    "scan_stats_by_source": q_scan_stats_by_source,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "sim_topk": q_sim_topk,
+    "sim_neardup": q_sim_neardup,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "events_windowed": q_events_windowed,
+    "events_json": q_events_json,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "clips_signatures": q_clips_signatures,
+    "clips_exact_dedup": q_clips_exact_dedup,
+    "clips_clusters": q_clips_clusters,
+    "clips_candidates": q_clips_candidates,
+}
+
+_STOPWORD_ALT = "|".join(T.STOPWORDS)
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact_groups": """
+        select md5(text) as text_md5, count(*)::BIGINT as n
+        from documents group by 1 having count(*) > 1
+    """,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _JACCARD_SQL,
+    "text_stats": f"""
+        select doc_id,
+          (case when trim(text) = '' then 0
+                else len(regexp_split_to_array(trim(text), '\\s+')) end)::BIGINT as n_tokens,
+          len(regexp_extract_all(text, '[[:punct:]]'))::BIGINT as n_punct,
+          len(regexp_extract_all(text, '[0-9]'))::BIGINT as n_digits,
+          len(regexp_extract_all(text, '\\b({_STOPWORD_ALT})\\b'))::BIGINT as n_stopwords,
+          length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT as token_chars
+        from documents
+    """,
+    "text_langid": f"""
+        select doc_id,
+          case
+            when len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]')) > 0 then 'zh'
+            when len(regexp_extract_all(text, '[\\x{{0400}}-\\x{{04FF}}]')) > 0 then 'ru'
+            when len(regexp_extract_all(text, '[\\x{{0600}}-\\x{{06FF}}]')) > 0 then 'ar'
+            when {_markers_sql('de')} > {_markers_sql('fr')}
+             and {_markers_sql('de')} > {_markers_sql('es')} then 'de'
+            when {_markers_sql('fr')} > {_markers_sql('es')} then 'fr'
+            when {_markers_sql('es')} > 0 then 'es'
+            else 'en'
+          end as lang_pred
+        from documents
+    """,
+    "doc_fingerprint": """
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fingerprint
+        from documents
+    """,
+    "multi_hash": """
+        select doc_id, md5(text) as md5_hex, sha256(text) as sha256_hex,
+               'md5' as algo_md5, 'sha256' as algo_sha256
+        from documents
+    """,
+    "verify_classification": """
+        with expected as (
+          select 'doc_' || doc_id as path, md5(text) as expected_hash from documents
+        ), actual as (
+          select 'doc_' || doc_id as path,
+                 md5(case when doc_id % 7 = 0 then text || 'X' else text end) as actual_hash
+          from documents where doc_id % 11 <> 0
+          union all
+          select 'doc_new_' || doc_id as path, md5(text || 'N') as actual_hash
+          from documents where doc_id % 13 = 0
+        )
+        select coalesce(e.path, a.path) as path, expected_hash, actual_hash,
+               case when expected_hash is null then 'new'
+                    when actual_hash is null then 'missing'
+                    when expected_hash = actual_hash then 'match'
+                    else 'mismatch' end as status
+        from expected e full outer join actual a on e.path = a.path
+    """,
+    "compare_dbs": """
+        with db1 as (
+          select 'doc_' || doc_id as path, md5(text) as hash1 from documents
+        ), db2 as (
+          select 'doc_' || doc_id as path,
+                 md5(case when doc_id % 5 = 0 then text || 'Y' else text end) as hash2
+          from documents where doc_id % 9 <> 0
+          union all
+          select 'doc_add_' || doc_id as path, md5(text || 'A') as hash2
+          from documents where doc_id % 17 = 0
+        )
+        select coalesce(db1.path, db2.path) as path, hash1, hash2,
+               case when hash1 is null then 'added'
+                    when hash2 is null then 'removed'
+                    when hash1 = hash2 then 'unchanged'
+                    else 'changed' end as status
+        from db1 full outer join db2 on db1.path = db2.path
+    """,
+    "moved_detection": """
+        with base as (select * from documents where doc_id % 4 = 0),
+        removed as (
+          select md5(text) as hash, 'old/a/' || doc_id as old_path from base
+          union all
+          select md5(text) as hash, 'old/b/' || doc_id as old_path from base
+        ), added as (
+          select md5(text) as hash, 'new/x/' || doc_id as new_path from base
+          union all
+          select md5(text) as hash, 'new/y/' || doc_id as new_path from base
+        ), r as (
+          select hash, old_path,
+                 row_number() over (partition by hash order by old_path) as rn
+          from removed
+        ), a as (
+          select hash, new_path,
+                 row_number() over (partition by hash order by new_path) as rn
+          from added
+        )
+        select r.hash as hash, old_path, new_path from r join a using (hash, rn)
+    """,
+    "anti_new_files": """
+        select 'doc_' || doc_id as path from documents
+        where 'doc_' || doc_id not in (
+          select 'doc_' || doc_id from documents where doc_id % 3 <> 0
+        )
+    """,
+    "analyze_summary": """
+        with per_hash as (
+          select md5(text) as hash, count(*) as n from documents group by 1
+        )
+        select sum(n)::BIGINT as total_files,
+               count(*)::BIGINT as unique_hashes,
+               sum(case when n > 1 then n else 0 end)::BIGINT as dup_files,
+               sum(case when n > 1 then 1 else 0 end)::BIGINT as dup_groups
+        from per_hash
+    """,
+    "scan_stats_by_source": """
+        select source, count(*)::BIGINT as n_docs, sum(n_chars)::BIGINT as total_chars,
+               count(distinct lang)::BIGINT as n_langs
+        from documents group by source
+    """,
+    "top_docs_by_chars": """
+        select doc_id, n_chars from documents
+        order by n_chars desc, doc_id asc limit 10
+    """,
+    "sim_topk": """
+        with q as (select vec_id, embedding from embeddings where vec_id < 10),
+        scored as (
+          select q.vec_id as query_id, e.vec_id as neighbor_id,
+                 list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) as c
+          from q cross join embeddings e where q.vec_id <> e.vec_id
+        ), ranked as (
+          select query_id, neighbor_id,
+                 row_number() over (partition by query_id
+                                    order by c desc, neighbor_id asc) as rank,
+                 round(c, 6) as cosine
+          from scored
+        )
+        select query_id, neighbor_id, rank::INT as rank, cosine from ranked where rank <= 5
+    """,
+    "sim_neardup": """
+        with e as (select vec_id, embedding from embeddings where vec_id < 200)
+        select a.vec_id as id_a, b.vec_id as id_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) as cosine
+        from e a join e b on a.vec_id < b.vec_id
+        where list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+    """,
+    "events_windowed": """
+        select (floor(epoch(ts) / 3600) * 3600)::BIGINT as window_start,
+               event_type, count(*)::BIGINT as n_events,
+               round(sum(value), 4) as sum_value
+        from events group by 1, 2
+    """,
+    "events_json": """
+        select event_id, (props ->> 'k')::BIGINT as k from events
+    """,
+    "pricing_summary": """
+        select l_returnflag, l_linestatus,
+               sum(l_quantity)::DOUBLE as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+               count(*)::BIGINT as count_order
+        from lineitem
+        where l_shipdate <= '1998-09-02'
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        select n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               count(*)::BIGINT as n_items
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        group by n_name
+    """,
+}

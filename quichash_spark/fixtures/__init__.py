@@ -60,11 +60,15 @@ def truth_dataframe(spark: SparkSession, n: int, partitions: int | None = None) 
     return rng_df.mapInPandas(gen, TRUTH_SCHEMA)
 
 
+#: bump when the generator changes: invalidates /tmp parquet caches
+FIXTURE_VERSION = 2
+
+
 def materialized_clips(
     spark: SparkSession, n: int, cache_root: str = "/tmp/quichash_clips"
 ) -> DataFrame:
     """Generate-once, read-many parquet materialization of the corpus."""
-    path = Path(cache_root) / f"n{n}"
+    path = Path(cache_root) / f"v{FIXTURE_VERSION}_n{n}"
     marker = path / "_SUCCESS"
     if not marker.exists():
         clips_dataframe(spark, n).write.mode("overwrite").parquet(str(path))

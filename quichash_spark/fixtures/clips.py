@@ -168,7 +168,7 @@ def _substitute_tokens(transcript: str, rng: np.random.Generator, max_hamming: i
     for n_subs in (2, 1):
         if len(toks) < n_subs:
             continue
-        for _ in range(64):
+        for _ in range(200):
             cand = list(toks)
             pos = rng.choice(len(toks), size=n_subs, replace=False)
             for p in pos:
@@ -197,6 +197,12 @@ def gen_clip(i: int) -> dict:
         return clip
     if off in (12, 14, 16, 18):
         clip = _unique_clip(i)
+        if off == 16:
+            # text-near base needs >= 40 tokens: SimHash bit-vote margins
+            # grow with token count, so a <=2-token substitution satisfying
+            # Hamming <= 3 is reliably findable (infeasible at 5-15 tokens)
+            rng = _rng(i, 909)
+            clip["transcript"] = _gen_transcript(i, n_tokens=int(rng.integers(40, 81)))
         if off == 18:  # containment base: force a long transcript + clip
             rng = _rng(i, 707)
             clip["transcript"] = _gen_transcript(i, n_tokens=int(rng.integers(24, 41)))

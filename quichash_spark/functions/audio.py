@@ -111,9 +111,11 @@ def pcm_frame_bits(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:
 
     Frames of ``cfg.frame_len`` samples at hop ``cfg.frame_hop``; per frame
     compute ``cfg.pcm_bands`` coarse spectral band energies (rfft magnitude
-    sums) and emit the sign of the band-to-band energy *difference* — the
-    Haitsma-Kalker trick, robust to gain changes and additive noise at the
-    >=30 dB SNR the verify gate targets.
+    sums) and emit one bit per band: *is this band above the frame's mean
+    band energy*.  Dominant-band bits are gain-invariant and stable under
+    additive noise at the >=30 dB SNR the verify gate targets (the
+    sign-of-adjacent-difference variant is NOT: bands with near-zero
+    energy make those signs noise-dominated).
     """
     if pcm is None or pcm.size < cfg.frame_len:
         return np.empty(0, dtype=np.uint64)
@@ -129,10 +131,10 @@ def pcm_frame_bits(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     energies = np.empty((n_frames, cfg.pcm_bands), dtype=np.float64)
     for b in range(cfg.pcm_bands):
         energies[:, b] = spec[:, edges[b] : edges[b + 1]].sum(axis=1)
-    diff = np.diff(energies, axis=1) > 0  # (n_frames, pcm_bands-1)
+    above = energies > energies.mean(axis=1, keepdims=True)  # (n_frames, bands)
     words = np.zeros(n_frames, dtype=np.uint64)
-    for b in range(diff.shape[1]):
-        words |= diff[:, b].astype(np.uint64) << _U64(b)
+    for b in range(cfg.pcm_bands):
+        words |= above[:, b].astype(np.uint64) << _U64(b)
     return words
 
 

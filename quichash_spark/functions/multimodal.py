@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched kernels.
+
+Audio is the fully-real modality in this engine (see
+:mod:`quichash_spark.functions.audio`).  Image/video follow the identical
+pattern — ``binary`` payload column + metadata struct + ``mapInPandas``
+kernel — with the actual codec step STUBBED (this container has no
+image/video libraries): decode raises ``NotImplementedError`` unless the
+deterministic fake codec is used, so the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) is real and tested while the
+pixel math is swappable on a real cluster.
+
+Fake codec ``raw_rgb8``: header ``width:int32 | height:int32`` followed by
+``width*height*3`` bytes — decodable with numpy alone, exercising the full
+decode -> feature-extract -> resize path deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _decode_raw_rgb8(data: bytes) -> np.ndarray:
+    w, h = np.frombuffer(data[:8], dtype="<i4")
+    return np.frombuffer(data[8 : 8 + w * h * 3], dtype=np.uint8).reshape(int(h), int(w), 3)
+
+
+def encode_raw_rgb8(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return np.array([w, h], dtype="<i4").tobytes() + np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
+    def _raise(_: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            f"image codec {codec!r} needs an imaging library not present in "
+            "this environment; register a real kernel in IMAGE_CODECS"
+        )
+
+    return _raise
+
+
+IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "raw_rgb8": _decode_raw_rgb8,
+    "jpeg": _stub("jpeg"),
+    "png": _stub("png"),
+    "webp": _stub("webp"),
+}
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("item_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def _phash8(img: np.ndarray) -> str:
+    """Tiny perceptual hash: 8x8 average-pool of luma, threshold at mean.
+
+    Pure numpy (block mean, not interpolation) — deterministic stand-in
+    for a real pHash; the bucketing/join machinery downstream is identical.
+    """
+    luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    pooled = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            pooled[i, j] = luma[ys[i] : max(ys[i + 1], ys[i] + 1),
+                                xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (pooled > pooled.mean()).flatten()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def image_features(items: DataFrame, id_col: str = "item_id",
+                   bytes_col: str = "payload", codec_col: str = "codec") -> DataFrame:
+    """Decode + feature-extract over Arrow batches (mapInPandas)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data, codec in zip(pdf[id_col], pdf[bytes_col], pdf[codec_col]):
+                dec = IMAGE_CODECS.get(codec)
+                row = {"item_id": iid, "decode_ok": False, "width": None,
+                       "height": None, "mean_r": None, "mean_g": None,
+                       "mean_b": None, "phash": None}
+                if dec is not None and data is not None:
+                    img = dec(bytes(data))  # stubs raise NotImplementedError
+                    row.update(
+                        decode_ok=True,
+                        width=int(img.shape[1]),
+                        height=int(img.shape[0]),
+                        mean_r=float(img[..., 0].mean()),
+                        mean_g=float(img[..., 1].mean()),
+                        mean_b=float(img[..., 2].mean()),
+                        phash=_phash8(img),
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return items.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_indices(n_frames: int, k: int) -> list[int]:
+    """Deterministic uniform frame sampling for video payloads (the
+    video-modality analog of pcm frame shingles); pure arithmetic so
+    driver and executors agree."""
+    if n_frames <= 0 or k <= 0:
+        return []
+    if n_frames <= k:
+        return list(range(n_frames))
+    return [int(i * n_frames / k) for i in range(k)]

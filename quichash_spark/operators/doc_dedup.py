@@ -1,0 +1,191 @@
+"""Document-corpus deduplication suite (training-data pipeline ops).
+
+Four channels over a ``documents(doc_id, text, ...)`` table:
+
+- exact:   group-by-md5(text) — quichash A1 verbatim at document level
+           (/root/reference/src/dedup.rs:599-629)
+- n-gram Jaccard: exact word-k-gram set similarity — the correctness
+           baseline, all-pairs (use only on bounded corpora / buckets)
+- MinHash+LSH: banded signatures -> candidates -> exact-Jaccard verify —
+           the scale path; with DOCS_CONFIG (64 bands x 2 rows) every pair
+           with J >= 0.4 is a candidate w.p. > 1 - 1e-6, so the verified
+           output equals the exact baseline's
+- SimHash: Hamming-radius pairs via the pigeonhole probe
+
+Shingling for the exact baseline is pure JVM (split/sequence/transform/
+array_distinct in whole-stage codegen); only MinHash needs an Arrow UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from quichash_spark.config import DOCS_CONFIG, DedupConfig
+from quichash_spark.functions import hashing
+from quichash_spark.operators.lsh import lsh_candidates
+from quichash_spark.operators.simhash_probe import simhash_candidates
+
+
+def shingle_array(text: Column, k: int) -> Column:
+    """array<string> of distinct word-k-gram shingles, JVM-side.
+
+    Semantics match hashing.shingle_hashes: < k tokens => the whole token
+    sequence is the single shingle; blank => empty array.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k) + F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return (
+        F.when(F.trim(text) == "", F.array().cast("array<string>"))
+        .when(n < k, F.array_distinct(whole))
+        .otherwise(F.array_distinct(kgrams))
+    )
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """Byte-identical text groups (count > 1), reference A1 shape."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy("text_md5")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact all-pairs word-k-gram Jaccard >= threshold.
+
+    Integer outputs (inter/uni sizes) so the DuckDB oracle matches without
+    float hashing concerns.  Quadratic baseline — bench/scale uses
+    minhash_lsh_pairs which produces the same rows.
+    """
+    sh = documents.select(
+        F.col(id_col), shingle_array(F.col("text"), k).alias("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    num, den = _as_fraction(threshold)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+        .filter((F.col("uni") > 0) & (F.col("inter") * den >= F.col("uni") * num))
+    )
+
+
+def _as_fraction(threshold: float, den: int = 1000) -> tuple[int, int]:
+    """Exact-integer form of the Jaccard filter: inter/uni >= num/den,
+    evaluated as inter*den >= uni*num — identical in Spark and DuckDB
+    with no float rounding at the boundary."""
+    return int(round(threshold * den)), den
+
+
+def minhash_signatures(
+    documents: DataFrame, cfg: DedupConfig = DOCS_CONFIG, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id as clip_id, minhash array<long>, simhash long) via Arrow UDF.
+
+    Column is named ``clip_id``/``minhash_text`` so the clip-pipeline LSH
+    operators apply unchanged — one LSH implementation for both corpora.
+    """
+    a_params, b_params = hashing.minhash_params(cfg)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mh, sim = [], []
+            for text in pdf["text"]:
+                canon = " ".join(text.split()) if isinstance(text, str) else ""
+                sig = hashing.minhash_signature(
+                    hashing.shingle_hashes(canon, cfg.k_shingle), a_params, b_params
+                )
+                mh.append(sig.view(np.int64))
+                sim.append(hashing.simhash64_i64(canon))
+            yield pd.DataFrame(
+                {"clip_id": pdf[id_col], "minhash_text": mh, "simhash": sim}
+            )
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("clip_id", StringType()),
+            StructField("minhash_text", ArrayType(LongType())),
+            StructField("simhash", LongType()),
+        ]
+    )
+    # zero-padded string ids so lexicographic clip_id order == numeric
+    # doc_id order (pair orientation must match the integer-keyed oracle)
+    return documents.select(
+        F.lpad(F.col(id_col).cast("string"), 12, "0").alias(id_col), "text"
+    ).mapInPandas(batches, schema)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    k: int = DOCS_CONFIG.k_shingle,
+    threshold: float = 0.4,
+    cfg: DedupConfig = DOCS_CONFIG,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by exact k-gram Jaccard >= threshold.
+
+    Output rows (doc_a, doc_b, inter, uni) equal ngram_jaccard_pairs' for
+    any pair the banding recalls (>= 1 - 1e-6 per pair at J >= 0.4) — the
+    linear-shuffle scale path for the quadratic baseline.
+    """
+    sigs = minhash_signatures(documents, cfg, id_col)
+    cands, _dropped = lsh_candidates(sigs, cfg, "minhash_text", "lsh_text")
+    sh = documents.select(
+        F.lpad(F.col(id_col).cast("string"), 12, "0").alias(id_col),
+        shingle_array(F.col("text"), k).alias("shingles"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    num, den = _as_fraction(threshold)
+    return (
+        cands.join(
+            sh.select(F.col(id_col).alias("clip_a"), F.col("shingles").alias("sa")),
+            "clip_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("clip_b"), F.col("shingles").alias("sb")),
+            "clip_b",
+        )
+        .select(
+            F.col("clip_a").cast("long").alias("doc_a"),
+            F.col("clip_b").cast("long").alias("doc_b"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        .filter((F.col("uni") > 0) & (F.col("inter") * den >= F.col("uni") * num))
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame, cfg: DedupConfig = DOCS_CONFIG, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs within SimHash Hamming radius (exact, via pigeonhole probe)."""
+    sigs = minhash_signatures(documents, cfg, id_col)
+    pairs, _ = simhash_candidates(sigs, cfg)
+    return pairs.select(
+        F.col("clip_a").cast("long").alias("doc_a"),
+        F.col("clip_b").cast("long").alias("doc_b"),
+    )

@@ -1,0 +1,56 @@
+"""Multimodal plumbing: real fake-codec path + stubbed real codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from quichash_spark.functions import multimodal as M
+
+
+def _img(seed: int, w: int = 32, h: int = 16) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_image_features_pipeline(spark):
+    rows = [
+        Row(item_id=f"img_{i}", payload=M.encode_raw_rgb8(_img(i)), codec="raw_rgb8")
+        for i in range(8)
+    ]
+    rows.append(Row(item_id="img_null", payload=None, codec="raw_rgb8"))
+    rows.append(Row(item_id="img_unknown", payload=b"xx", codec="tiff"))
+    df = spark.createDataFrame(rows)
+    got = {r["item_id"]: r for r in M.image_features(df).collect()}
+    assert got["img_0"]["decode_ok"] and got["img_0"]["width"] == 32
+    assert len(got["img_0"]["phash"]) == 64
+    assert not got["img_null"]["decode_ok"]
+    assert not got["img_unknown"]["decode_ok"]
+    # deterministic across runs
+    again = {r["item_id"]: r for r in M.image_features(df).collect()}
+    assert got["img_3"]["phash"] == again["img_3"]["phash"]
+
+
+def test_stub_codecs_raise(spark):
+    df = spark.createDataFrame([Row(item_id="j", payload=b"\xff\xd8", codec="jpeg")])
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        M.image_features(df).collect()
+
+
+def test_phash_similarity_property():
+    img = _img(42, 64, 64)
+    noisy = np.clip(
+        img.astype(int) + np.random.default_rng(1).integers(-8, 9, img.shape), 0, 255
+    ).astype(np.uint8)
+    a, b = M._phash8(img), M._phash8(noisy)
+    ham = sum(x != y for x, y in zip(a, b))
+    assert ham <= 12  # mild noise barely moves the perceptual hash
+    other = M._phash8(_img(7, 64, 64))
+    ham_other = sum(x != y for x, y in zip(a, other))
+    assert ham_other > ham
+
+
+def test_frame_sampling():
+    assert M.frame_sample_indices(100, 4) == [0, 25, 50, 75]
+    assert M.frame_sample_indices(3, 8) == [0, 1, 2]
+    assert M.frame_sample_indices(0, 4) == []

@@ -1,0 +1,191 @@
+"""Operator-level tests over the tiny fixture corpus + handcrafted frames,
+mirroring the reference's per-module scenario tests (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from quichash_spark.config import CLIPS_CONFIG
+from quichash_spark.operators.connected_components import connected_components
+
+
+@pytest.fixture(scope="module")
+def signatures(spark, tiny_clips):
+    from quichash_spark.functions.udfs import compute_signatures
+
+    return compute_signatures(tiny_clips, CLIPS_CONFIG).cache()
+
+
+def _planted(kind: str, n: int = 200) -> set[tuple[str, str]]:
+    """Planted dup pairs of a given kind from truth."""
+    from quichash_spark.fixtures.clips import truth_row
+
+    groups: dict[str, list[str]] = {}
+    for i in range(n):
+        t = truth_row(i)
+        if t["kind"] == kind:
+            groups.setdefault(t["true_cluster_id"], []).append(t["clip_id"])
+    out = set()
+    for m in groups.values():
+        m.sort()
+        for k in range(1, len(m)):
+            for l in range(k):
+                out.add((m[l], m[k]))
+    return out
+
+
+def test_exact_dedup_matches_truth(signatures):
+    from quichash_spark.operators.exact_dedup import exact_duplicate_edges, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(signatures).collect()
+    edges = {(r["clip_a"], r["clip_b"]) for r in exact_duplicate_edges(signatures).collect()}
+    planted = _planted("exact")
+    assert edges == planted  # pairs of size-2 groups == star edges
+    assert all(r["n"] == 2 for r in groups)
+    assert len(groups) == len(planted)
+    # wasted bytes: (n-1) * n_samples * 2
+    sig_rows = {r["clip_id"]: r["n_samples"] for r in signatures.collect()}
+    for r in groups:
+        assert r["wasted_bytes"] == sig_rows[r["clip_ids"][0]] * 2
+
+
+def test_lsh_finds_equal_and_near_transcripts(signatures):
+    from quichash_spark.operators.lsh import lsh_candidates
+
+    pairs, dropped = lsh_candidates(signatures, CLIPS_CONFIG, "minhash_text")
+    got = {(r["clip_a"], r["clip_b"]) for r in pairs.collect()}
+    # identical transcripts (exact + audio-near pairs) are always candidates
+    assert _planted("exact") <= got
+    assert _planted("audio_near") <= got
+    # containment pairs planted at J>=0.6 — expect all found at n=200
+    assert _planted("containment") <= got
+    assert dropped.count() == 0  # cap 2000 >> hot-band size at n=200
+
+
+def test_lsh_bucket_cap_drops_hot_band(spark, signatures):
+    from dataclasses import replace
+
+    from quichash_spark.operators.lsh import lsh_candidates
+
+    capped = replace(CLIPS_CONFIG, band_bucket_cap=5)
+    pairs, dropped = lsh_candidates(signatures, capped, "minhash_text")
+    # the "ok" hot band (24 clips at n=200) exceeds cap 5 on all 32 bands
+    assert dropped.count() >= 32
+    ok_ids = [
+        r["clip_id"]
+        for r in signatures.filter(F.col("transcript") == "ok").select("clip_id").collect()
+    ]
+    got = {(r["clip_a"], r["clip_b"]) for r in pairs.collect()}
+    hot_pairs = {(a, b) for a in ok_ids for b in ok_ids if a < b}
+    assert not (got & hot_pairs)
+
+
+def test_simhash_probe_equals_bruteforce(signatures):
+    from quichash_spark.functions.hashing import hamming64
+    from quichash_spark.operators.simhash_probe import simhash_candidates
+
+    pairs, _ = simhash_candidates(signatures, CLIPS_CONFIG)
+    got = {(r["clip_a"], r["clip_b"]) for r in pairs.collect()}
+    sims = {r["clip_id"]: r["simhash"] for r in signatures.collect()}
+    ids = sorted(sims)
+    expect = set()
+    hot = {cid for cid, s in sims.items()}
+    # brute force, excluding buckets over the cap (the "ok" hot chunks)
+    from collections import Counter
+
+    from quichash_spark.functions.hashing import simhash_chunks_i64
+
+    chunk_count: Counter = Counter()
+    for cid in ids:
+        for idx, val in enumerate(simhash_chunks_i64(sims[cid], CLIPS_CONFIG.simhash_chunks)):
+            chunk_count[(idx, val)] += 1
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if hamming64(sims[a], sims[b]) <= CLIPS_CONFIG.simhash_hamming_r:
+                shared = [
+                    (idx, va)
+                    for (idx, va), vb in zip(
+                        enumerate(simhash_chunks_i64(sims[a], 4)),
+                        simhash_chunks_i64(sims[b], 4),
+                    )
+                    if va == vb
+                ]
+                if any(
+                    1 < chunk_count[(idx, val)] <= CLIPS_CONFIG.band_bucket_cap
+                    for idx, val in shared
+                ):
+                    expect.add((a, b))
+    assert got == expect
+    assert _planted("text_near") <= got
+
+
+def test_containment_finds_planted(signatures):
+    from quichash_spark.operators.containment import containment_candidates
+
+    got = {
+        (r["clip_a"], r["clip_b"])
+        for r in containment_candidates(signatures, CLIPS_CONFIG).collect()
+    }
+    assert _planted("containment") <= got
+
+
+def test_verify_matrix(spark, tiny_clips, signatures):
+    """Classification-matrix test mirroring the reference's verify tests
+    (/root/reference/src/verify.rs:467-616): accept exact/near/containment,
+    reject low-SNR and unrelated pairs."""
+    from quichash_spark.operators.verify import verify_candidates
+
+    cases = {
+        "exact": (True, _planted("exact")),
+        "audio_near": (True, _planted("audio_near")),
+        "text_near": (True, _planted("text_near")),
+        "containment": (True, _planted("containment")),
+    }
+    rows = [
+        Row(clip_a=a, clip_b=b, source=kind)
+        for kind, (_, pairs) in cases.items()
+        for a, b in sorted(pairs)
+    ]
+    # negatives: hot-band pair (same transcript, unrelated audio) and the
+    # planted SNR<20dB pair (clip 27 degraded vs clip 28 at block 1)
+    rows.append(Row(clip_a="clip_00000086", clip_b="clip_00000087", source="neg_hotband"))
+    rows.append(Row(clip_a="clip_00000027", clip_b="clip_00000028", source="neg_snr"))
+    cands = spark.createDataFrame(rows)
+    verdicts = verify_candidates(cands, tiny_clips, CLIPS_CONFIG).collect()
+    by_source: dict[str, list] = {}
+    for r in verdicts:
+        by_source.setdefault(r["source"], []).append(r)
+    for kind, (want, pairs) in cases.items():
+        assert all(r["accepted"] == want for r in by_source[kind]), kind
+        assert len(by_source[kind]) == len(pairs)
+    assert all(not r["accepted"] for r in by_source["neg_hotband"])
+    assert all(not r["accepted"] for r in by_source["neg_snr"])
+    # SNR gates behaved as designed
+    assert all(r["snr_db"] >= 30 for r in by_source["audio_near"])
+    assert all(r["snr_db"] < 30 for r in by_source["neg_snr"])
+
+
+def test_connected_components_shapes(spark):
+    def cc(edges: list[tuple[str, str]]) -> dict[str, str]:
+        df = spark.createDataFrame(
+            [Row(clip_a=a, clip_b=b) for a, b in edges] or [],
+            schema="clip_a string, clip_b string",
+        )
+        return {
+            r["clip_id"]: r["cluster_id"] for r in connected_components(df).collect()
+        }
+
+    # chain a-b-c-d collapses to min
+    got = cc([("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+    # two components + duplicate/reversed edges
+    got = cc([("x", "y"), ("y", "x"), ("p", "q"), ("q", "r"), ("p", "r")])
+    assert got == {"x": "x", "y": "x", "p": "p", "q": "p", "r": "p"}
+    # empty edges
+    assert cc([]) == {}
+    # star already
+    got = cc([("m", "n"), ("m", "o")])
+    assert got == {"m": "m", "n": "m", "o": "m"}

@@ -1,0 +1,125 @@
+"""End-to-end pipeline tests: the binding recall gate (BASELINE.json:
+dup-pair recall >= 0.99 vs the deterministic oracle at frozen config),
+report invariants, and kill-and-resume (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def result(spark, tiny_clips, tmp_path_factory):
+    from quichash_spark.pipeline import run_pipeline
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    return run_pipeline(spark, tiny_clips, ckpt), ckpt
+
+
+def test_recall_gate_vs_oracle(result):
+    """THE binding gate: pipeline cluster pairs vs brute-force oracle."""
+    from quichash_spark.oracle.numpy_oracle import cluster_pairs, oracle_clusters
+
+    res, _ = result
+    got = {r["clip_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    oracle_pairs = cluster_pairs(oracle_clusters(N))
+    pipeline_pairs = cluster_pairs(got)
+    recall = len(oracle_pairs & pipeline_pairs) / max(1, len(oracle_pairs))
+    assert recall >= 0.99, f"recall {recall} below gate"
+    # and no spurious merges (precision 1.0 on this corpus)
+    assert pipeline_pairs <= oracle_pairs
+
+
+def test_report_invariants(result):
+    """Mirrors the reference's mathematical-consistency checks
+    (/root/reference/src/compare.rs:965-1000)."""
+    res, _ = result
+    clusters = res.clusters
+    # every clip assigned exactly once; sizes sum to corpus size
+    assert clusters.count() == N
+    assert clusters.select("clip_id").distinct().count() == N
+    sizes = clusters.groupBy("cluster_id").count()
+    assert sizes.agg(F.sum("count")).collect()[0][0] == N
+    # exact-dup pairs are intra-cluster (recall floor, BASELINE.md)
+    from quichash_spark.operators.exact_dedup import exact_duplicate_edges
+
+    exact = exact_duplicate_edges(res.signatures)
+    a = clusters.withColumnRenamed("clip_id", "clip_a").withColumnRenamed(
+        "cluster_id", "ca"
+    )
+    b = clusters.withColumnRenamed("clip_id", "clip_b").withColumnRenamed(
+        "cluster_id", "cb"
+    )
+    joined = exact.join(a, "clip_a").join(b, "clip_b")
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+    # verified edges only between same-cluster members
+    acc = res.verified.filter("accepted").join(a, "clip_a").join(b, "clip_b")
+    assert acc.filter(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_resume_skips_completed_stages(spark, tiny_clips, result):
+    from quichash_spark.pipeline import run_pipeline
+
+    res1, ckpt = result
+    c1 = {r["clip_id"]: r["cluster_id"] for r in res1.clusters.collect()}
+    # full rerun: everything skipped
+    res2 = run_pipeline(spark, tiny_clips, ckpt)
+    assert all(s == 0.0 for s in res2.stage_seconds.values())
+    # kill-and-resume: invalidate the tail stages, rerun, identical output
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.storage import CheckpointStore
+
+    store = CheckpointStore(spark, ckpt, CLIPS_CONFIG)
+    store.invalidate("verified_edges")
+    store.invalidate("clusters")
+    res3 = run_pipeline(spark, tiny_clips, ckpt)
+    assert res3.stage_seconds["signatures"] == 0.0
+    assert res3.stage_seconds["candidates"] == 0.0
+    assert res3.stage_seconds["verified_edges"] > 0
+    c3 = {r["clip_id"]: r["cluster_id"] for r in res3.clusters.collect()}
+    assert c1 == c3
+
+
+def test_config_change_invalidates_checkpoints(spark, tiny_clips, result):
+    from dataclasses import replace
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.storage import CheckpointStore
+
+    _, ckpt = result
+    other = replace(CLIPS_CONFIG, k_shingle=4)
+    store = CheckpointStore(spark, ckpt, other)
+    assert not store.is_complete("signatures")
+
+
+def test_metrics_lineage_rows(spark, result):
+    res, ckpt = result
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.storage import CheckpointStore
+
+    store = CheckpointStore(spark, ckpt, CLIPS_CONFIG)
+    m = store.metrics()
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert {"signatures", "candidates", "verified_edges", "clusters"} <= stages
+    assert m.filter(F.col("rows_out") < 0).count() == 0
+
+
+def test_partitioning_equivalence(spark, tmp_path_factory):
+    """Reference parallel==sequential test (src/scan.rs:960-1028): the
+    cluster table is identical for different input partitionings."""
+    from quichash_spark.fixtures import clips_dataframe
+    from quichash_spark.pipeline import run_pipeline
+
+    d1 = str(tmp_path_factory.mktemp("p2"))
+    d2 = str(tmp_path_factory.mktemp("p13"))
+    a = run_pipeline(spark, clips_dataframe(spark, 100, partitions=2), d1).clusters
+    b = run_pipeline(spark, clips_dataframe(spark, 100, partitions=13), d2).clusters
+    ca = {r["clip_id"]: r["cluster_id"] for r in a.collect()}
+    cb = {r["clip_id"]: r["cluster_id"] for r in b.collect()}
+    assert ca == cb
+    shutil.rmtree(d1, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)
