@@ -53,9 +53,17 @@ class DedupConfig:
     band_bucket_cap: int = 300     # max rows per (band, band_hash) bucket
     pair_cap_per_bucket: int = 50000  # max candidate pairs emitted per bucket
     salt_buckets: int = 16         # salt fan-out for hot-band repartitioning
+    # pairs found ONLY by the pcm channel need >= this many matching
+    # bands (of cfg.bands): random frame-word collisions hit 1 band,
+    # true audio near-dups (J >~ 0.5) hit many — collision-count filter
+    min_pcm_band_hits: int = 2
 
     # --- connected components ---
     cc_max_iters: int = 25
+
+    # --- kernel code version: bump when any signature kernel changes so
+    # checkpoint config-hashes (and therefore resume) invalidate ---
+    kernel_version: int = 6
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:

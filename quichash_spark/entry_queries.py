@@ -387,6 +387,19 @@ def q_clips_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.candidates
 
 
+def q_clips_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone suffix-containment pass (north_rule stage 5) over the
+    clips corpus: token-level transcript containment within LSH buckets."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.containment import containment_candidates
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    sigs = compute_signatures(clips, CLIPS_CONFIG)
+    return containment_candidates(sigs, CLIPS_CONFIG)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -418,6 +431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_exact_dedup": q_clips_exact_dedup,
     "clips_clusters": q_clips_clusters,
     "clips_candidates": q_clips_candidates,
+    "clips_containment": q_clips_containment,
 }
 
 _STOPWORD_ALT = "|".join(T.STOPWORDS)

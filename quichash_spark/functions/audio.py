@@ -126,25 +126,57 @@ def pcm_frame_bits(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     )
     frames = pcm[idx].astype(np.float64)
     spec = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame_len//2+1)
-    nbin = spec.shape[1] - 1
-    edges = np.linspace(1, nbin + 1, cfg.pcm_bands + 1, dtype=int)
-    energies = np.empty((n_frames, cfg.pcm_bands), dtype=np.float64)
-    for b in range(cfg.pcm_bands):
-        energies[:, b] = spec[:, edges[b] : edges[b + 1]].sum(axis=1)
-    above = energies > energies.mean(axis=1, keepdims=True)  # (n_frames, bands)
-    words = np.zeros(n_frames, dtype=np.uint64)
-    for b in range(cfg.pcm_bands):
-        words |= above[:, b].astype(np.uint64) << _U64(b)
+    spec[:, 0] = 0.0  # ignore DC
+    # word = dominant peak bin (9b) | second peak bin (9b) | log-ratio (3b).
+    # ~21 bits/frame keeps stationary clips (constant word sequences) from
+    # colliding across the corpus — the dominant-band variant had ~8 bits
+    # and put thousands of unrelated clips into the same LSH buckets.
+    # Strong peaks are stable under the >=30 dB additive noise the verify
+    # gate targets; empty-spectrum features are never used.
+    top1 = spec.argmax(axis=1)
+    e1 = spec[np.arange(n_frames), top1]
+    masked = spec.copy()
+    for d in range(-2, 3):  # exclude +-2 bins around the dominant peak
+        j = np.clip(top1 + d, 0, spec.shape[1] - 1)
+        masked[np.arange(n_frames), j] = 0.0
+    top2 = masked.argmax(axis=1)
+    e2 = masked[np.arange(n_frames), top2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(e2 > 0, np.log2(np.maximum(e1, 1e-12) / np.maximum(e2, 1e-12)), 7.0)
+    ratio_bin = np.clip(ratio * 4.0, 0, 31).astype(np.uint64)  # 5 bits, 1/4-octave
+    # spectral centroid (energy-weighted mean bin), 7 bits: stable under
+    # >=30 dB additive noise for any signal with real spectral mass, and
+    # nearly independent of the peak bins => ~30 bits/word total, which
+    # keeps corpus-level random collisions (candidate-pair noise in the
+    # pcm-LSH channel) negligible
+    power = spec * spec
+    tot = power.sum(axis=1)
+    bins = np.arange(spec.shape[1], dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        centroid = np.where(tot > 0, (power * bins[None, :]).sum(axis=1) / np.maximum(tot, 1e-12), 0.0)
+    centroid_bin = np.clip(centroid * 128.0 / spec.shape[1], 0, 127).astype(np.uint64)
+    words = (
+        top1.astype(np.uint64)
+        | (top2.astype(np.uint64) << _U64(9))
+        | (ratio_bin << _U64(18))
+        | (centroid_bin << _U64(23))
+    )
     return words
 
 
 def pcm_shingle_hashes(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:
-    """uint64 hashes of k-frame shingles of the frame-bit sequence.
+    """uint64 hashes of k-frame shingles of the frame-bit sequence."""
+    return shingles_from_words(pcm_frame_bits(pcm, cfg), cfg)
+
+
+def shingles_from_words(words: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """uint64 hashes of k-frame shingles of precomputed frame words.
 
     The PCM analog of text shingles: consecutive ``cfg.pcm_k_shingle``
     frame words folded with the splitmix constant; de-duplicated.
+    Split out so callers that also need the raw words (n_frames metadata)
+    run the FFT exactly once.
     """
-    words = pcm_frame_bits(pcm, cfg)
     k = cfg.pcm_k_shingle
     if words.size == 0:
         return np.empty(0, dtype=np.uint64)
@@ -168,4 +200,5 @@ __all__ = [
     "snr_db",
     "pcm_frame_bits",
     "pcm_shingle_hashes",
+    "shingles_from_words",
 ]

@@ -37,8 +37,11 @@ SIGNATURE_SCHEMA = StructType(
     [
         StructField("clip_id", StringType()),
         StructField("content_hash", StringType()),
+        StructField("pcm_hash", StringType()),
         StructField("minhash_text", ArrayType(LongType())),
         StructField("minhash_pcm", ArrayType(LongType())),
+        StructField("band_keys_text", ArrayType(LongType())),
+        StructField("band_keys_pcm", ArrayType(LongType())),
         StructField("simhash", LongType()),
         StructField("n_frames", IntegerType()),
         StructField("n_samples", IntegerType()),
@@ -71,13 +74,18 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                 ok = pcm is not None
                 if ok:
                     chash = hashing.content_hash(pcm, canon)
+                    # pcm-only digest: lets verification decide
+                    # identical-audio pairs without ever re-reading bytes
+                    phash = hashing.content_hash(pcm, "")
+                    words = audio.pcm_frame_bits(pcm, cfg)  # one FFT pass
                     mh_pcm = hashing.minhash_signature(
-                        audio.pcm_shingle_hashes(pcm, cfg), a_params, b_params
+                        audio.shingles_from_words(words, cfg), a_params, b_params
                     )
-                    n_frames = int(audio.pcm_frame_bits(pcm, cfg).size)
+                    n_frames = int(words.size)
                     n_samples = int(pcm.size)
                 else:
                     chash = None
+                    phash = None
                     mh_pcm = np.full(cfg.num_perm, hashing.EMPTY_SLOT, np.uint64)
                     n_frames = 0
                     n_samples = 0
@@ -86,8 +94,18 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                 )
                 out["clip_id"].append(clip_id)
                 out["content_hash"].append(chash)
+                out["pcm_hash"].append(phash)
                 out["minhash_text"].append(mh_text.view(np.int64))
                 out["minhash_pcm"].append(mh_pcm.view(np.int64))
+                # band keys precomputed here (vectorized numpy) so the
+                # LSH stage is a pure explode+shuffle — no per-row JVM
+                # hashing re-evaluated on every plan branch
+                out["band_keys_text"].append(
+                    hashing.band_hashes(mh_text, cfg.bands, cfg.rows)
+                )
+                out["band_keys_pcm"].append(
+                    hashing.band_hashes(mh_pcm, cfg.bands, cfg.rows)
+                )
                 out["simhash"].append(hashing.simhash64_i64(canon))
                 out["n_frames"].append(n_frames)
                 out["n_samples"].append(n_samples)
@@ -96,4 +114,8 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
             yield pd.DataFrame(out)
 
     cols = ["clip_id", "bytes", "codec", "transcript"]
-    return clips.select(*cols).mapInPandas(batches, SIGNATURE_SCHEMA)
+    # few fat Python tasks: each Arrow-exchange task pays ~150ms of fixed
+    # protocol overhead, so target ~3 tasks/core (coalesce = no shuffle;
+    # it only ever reduces the scan's partition count)
+    target = clips.sparkSession.sparkContext.defaultParallelism * 3
+    return clips.select(*cols).coalesce(target).mapInPandas(batches, SIGNATURE_SCHEMA)

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from quichash_spark.config import DedupConfig
-from quichash_spark.operators.lsh import band_table, bucket_sizes
 
 FULL_MATRIX_LIMIT = 256
 
@@ -77,21 +76,30 @@ def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def containment_candidates(
-    signatures: DataFrame, cfg: DedupConfig
+    signatures: DataFrame, cfg: DedupConfig, kept: DataFrame | None = None
 ) -> DataFrame:
-    """Candidate pairs (clip_a < clip_b, source='containment')."""
-    bands = band_table(signatures, cfg, "minhash_text")
-    sizes = bucket_sizes(bands)
-    kept_keys = sizes.filter(
-        (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.band_bucket_cap)
-    ).select("band_idx", "band_key")
+    """Candidate pairs (clip_a < clip_b, source='containment').
+
+    ``kept`` lets callers share the (cached) kept-bucket table with the
+    LSH pair stage instead of recomputing banding + bucket sizes.
+
+    NOTE: within the pipeline this channel is subsumed — its buckets are
+    exactly the LSH pair-generation buckets, so every containment pair it
+    can emit is already an LSH candidate, and the verify kernel accepts
+    containment pairs on its own.  It exists as a standalone operator for
+    direct containment queries (and for configs where LSH pair generation
+    is capped harder than bucket scans).
+    """
+    if kept is None:
+        from quichash_spark.operators.lsh import kept_buckets
+
+        kept, _ = kept_buckets(signatures, cfg, "minhash_text")
 
     texts = signatures.select(
         "clip_id", "transcript", F.xxhash64("transcript").alias("thash")
     )
     bucket_texts = (
-        bands.join(kept_keys, ["band_idx", "band_key"])
-        .join(texts, "clip_id")
+        kept.join(texts, "clip_id")
         .select("band_idx", "band_key", "transcript", "thash")
         .dropDuplicates(["band_idx", "band_key", "thash"])
     )

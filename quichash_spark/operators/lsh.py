@@ -47,6 +47,70 @@ def bucket_sizes(bands: DataFrame) -> DataFrame:
     return bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
 
 
+def salted_repartition(df: DataFrame, key_cols: list[str], salt_buckets: int,
+                       salt_source: str = "clip_id",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Spread hot keys across ``salt_buckets`` partitions per key.
+
+    North_rule skew control: a plain ``repartition(key)`` puts a hot LSH
+    band (millions of rows under one band_key) into ONE task; salting by
+    ``xxhash64(salt_source) % salt_buckets`` fans each key out over
+    ``salt_buckets`` tasks.  Use before per-bucket scans (containment,
+    stats) whose downstream op is salt-insensitive; pair self-joins
+    instead rely on the bucket CAP (a hot bucket must not generate pairs
+    at all) + AQE skew-join splitting.
+    """
+    salt = F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
+    cols = [*[F.col(c) for c in key_cols], salt]
+    if num_partitions:
+        # explicit count: AQE won't coalesce it away (pass it when the
+        # downstream op needs guaranteed fan-out, not just a hint)
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)
+
+
+def kept_buckets(
+    signatures: DataFrame, cfg: DedupConfig, column: str = "minhash_text"
+) -> tuple[DataFrame, DataFrame]:
+    """(kept(clip_id, band_idx, band_key), dropped(band_idx, band_key,
+    bucket_n)) — band rows restricted to non-trivial, non-capped buckets.
+
+    Size-1 buckets (the overwhelming majority) and hot buckets above the
+    cap never reach the self-join.  Callers that need both pair generation
+    and bucket-level passes (containment) should compute this ONCE and
+    share it.
+    """
+    bands = band_table(signatures, cfg, column)
+    sizes = bucket_sizes(bands)
+    kept_keys = sizes.filter(
+        (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.band_bucket_cap)
+    ).select("band_idx", "band_key")
+    dropped = sizes.filter(F.col("bucket_n") > cfg.band_bucket_cap)
+    return bands.join(kept_keys, ["band_idx", "band_key"]), dropped
+
+
+def pairs_from_buckets(kept: DataFrame, source: str, deduplicate: bool = True) -> DataFrame:
+    """Self-join within buckets -> (clip_a < clip_b, source).
+
+    ``deduplicate=False`` skips the per-channel shuffle when the caller
+    already de-duplicates the unioned candidate set (the pipeline does).
+    """
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.clip_id") < F.col("b.clip_id")),
+    ).select(
+        F.col("a.clip_id").alias("clip_a"),
+        F.col("b.clip_id").alias("clip_b"),
+    )
+    if deduplicate:
+        pairs = pairs.dropDuplicates(["clip_a", "clip_b"])
+    return pairs.withColumn("source", F.lit(source))
+
+
 def lsh_candidates(
     signatures: DataFrame,
     cfg: DedupConfig,
@@ -59,19 +123,72 @@ def lsh_candidates(
     band_key, bucket_n))``.  ``clip_a < clip_b``; pairs seen in several
     bands are de-duplicated.
     """
-    bands = band_table(signatures, cfg, column)
-    sizes = bucket_sizes(bands)
+    kept, dropped = kept_buckets(signatures, cfg, column)
+    return pairs_from_buckets(kept, source), dropped
+
+
+def unified_bucket_table(
+    signatures: DataFrame, cfg: DedupConfig, use_pcm: bool = True
+) -> DataFrame:
+    """ONE bucket table for every candidate channel (the shuffle-count
+    optimization: one sizes pass + one kept-join + one self-join instead
+    of three of each).
+
+    band_idx ranges encode the channel:
+      [0, bands)            text MinHash bands
+      [bands, 2*bands)      pcm MinHash bands           (if use_pcm)
+      [2*bands, +chunks)    SimHash pigeonhole chunks
+
+    Rows carry ``simhash`` so the Hamming-radius filter for chunk-channel
+    pairs applies directly after the self-join.
+    """
+    width = 64 // cfg.simhash_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for i in range(cfg.simhash_chunks)
+        ]
+    )
+    # band keys were precomputed (vectorized) in the signature stage;
+    # this is a pure explode — no hashing re-evaluated per plan branch
+    if use_pcm:
+        keys = F.concat(F.col("band_keys_text"), F.col("band_keys_pcm"), chunks)
+    else:
+        keys = F.concat(F.col("band_keys_text"), chunks)
+    return signatures.select(
+        "clip_id", "simhash", F.posexplode(keys).alias("band_idx", "band_key")
+    )
+
+
+def unified_candidates(
+    signatures: DataFrame, cfg: DedupConfig, use_pcm: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """All candidate channels in one shuffle plan.
+
+    Returns (pairs(clip_a, clip_b, source), dropped buckets).  ``source``
+    is the comma-joined sorted set of channels that produced the pair.
+    """
+    nb = cfg.bands
+    n_channels = nb * (2 if use_pcm else 1)
+    # persisted: referenced by the sizes aggregate and BOTH self-join
+    # sides — without it the explode re-runs three times
+    buckets = unified_bucket_table(signatures, cfg, use_pcm).persist()
+    sizes = buckets.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
     kept_keys = sizes.filter(
         (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.band_bucket_cap)
     ).select("band_idx", "band_key")
     dropped = sizes.filter(F.col("bucket_n") > cfg.band_bucket_cap)
+    kept = buckets.join(kept_keys, ["band_idx", "band_key"])
 
-    # Join bands down to non-trivial, non-capped buckets first: buckets of
-    # size 1 (the overwhelming majority) never reach the self-join.
-    kept = bands.join(kept_keys, ["band_idx", "band_key"])
-
-    a = kept.alias("a")
-    b = kept.alias("b")
+    a, b = kept.alias("a"), kept.alias("b")
+    channel = (
+        F.when(F.col("a.band_idx") < nb, F.lit("lsh_text"))
+        .when(F.col("a.band_idx") < n_channels, F.lit("lsh_pcm") if use_pcm else F.lit("simhash"))
+        .otherwise(F.lit("simhash"))
+    )
     pairs = (
         a.join(
             b,
@@ -79,11 +196,34 @@ def lsh_candidates(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.clip_id") < F.col("b.clip_id")),
         )
+        # SimHash chunk buckets are 16-bit random collisions; only pairs
+        # within the Hamming ball are candidates (matches simhash_probe)
+        .filter(
+            (F.col("a.band_idx") < n_channels)
+            | (
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                <= cfg.simhash_hamming_r
+            )
+        )
         .select(
             F.col("a.clip_id").alias("clip_a"),
             F.col("b.clip_id").alias("clip_b"),
+            channel.alias("channel"),
         )
-        .dropDuplicates(["clip_a", "clip_b"])
-        .withColumn("source", F.lit(source))
+        .groupBy("clip_a", "clip_b")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("channel"))).alias("source"),
+            F.sum(F.when(F.col("channel") == "lsh_pcm", 1).otherwise(0)).alias("pcm_hits"),
+        )
+        # Collision-count thresholding for the noisy pcm channel: a true
+        # audio near-duplicate (J >~ 0.5 on frame shingles) matches many
+        # of the 32 bands; a corpus-level random word collision matches
+        # exactly one.  Requiring >= min_pcm_band_hits keeps verification
+        # volume linear in true-duplicate count, not corpus size.
+        .filter(
+            (F.col("source") != "lsh_pcm")
+            | (F.col("pcm_hits") >= cfg.min_pcm_band_hits)
+        )
+        .drop("pcm_hits")
     )
     return pairs, dropped

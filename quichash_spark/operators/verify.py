@@ -6,23 +6,29 @@ relatedness is one of
 
 - canonical transcripts equal,
 - SimHash Hamming distance <= r (text near-duplicates), or
-- token-level containment (one transcript a contiguous slice of the other)
+- token-level containment (one transcript a contiguous slice of the other).
 
-— the three candidate channels the pipeline generates; a pair is accepted
-iff the audio gate AND a text relation both hold.  The join shape mirrors
-the reference's verify full-outer classification (J1,
-/root/reference/src/verify.rs:183-261): candidates are joined back to the
-clips table and re-checked against primary data, exactly like quichash
-re-hashes every DB entry against the filesystem (src/verify.rs:213-236).
+The join shape mirrors the reference's verify classification (J1,
+/root/reference/src/verify.rs:183-261): candidates re-checked against
+primary data, like quichash re-hashing every DB entry (verify.rs:213-236).
 
-Scale notes: this is the only stage that re-reads audio bytes after
-signatures; bytes travel through two hash-partitioned joins keyed on
-clip_id and are decoded in bounded Arrow batches (mapInPandas).
+Scale design — bytes are the enemy:
+
+1. FAST PATH (pure JVM, no bytes, no Python): pairs whose pcm-only
+   digests match have identical decoded audio, so SNR == cap by
+   definition; the text relations (equality, bit_count Hamming,
+   token containment) are all built-in column expressions.  On real
+   corpora this decides the bulk of candidates (exact/near-text dups).
+2. SLOW PATH (one byte shuffle): remaining pairs explode to
+   (pair, member) rows; the corpus is pruned to participants with a
+   broadcast semi-join (bytes never enter an exchange un-pruned), each
+   payload row is tagged with its pair memberships, and ONE groupBy(pair)
+   brings both members' bytes together for the SNR kernel
+   (applyInPandas).  Bounded: candidate volume is capped upstream by the
+   LSH bucket caps, so pairs << corpus.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import pandas as pd
 
@@ -72,14 +78,15 @@ def verify_pair(
     transcript_b: str | None,
     cfg: DedupConfig,
 ) -> dict:
-    """Frozen verification kernel — shared verbatim with the numpy oracle."""
+    """Frozen verification kernel — shared verbatim with the numpy oracle.
+
+    The distributed fast/slow split below is an execution strategy for
+    exactly this function; tests assert the equivalence.
+    """
     ca, cb = _canon(transcript_a), _canon(transcript_b)
     if pcm_a is None or pcm_b is None:
         snr = float("-inf")
     else:
-        # reference signal = the longer clip (containment pairs are prefix
-        # slices); ties broken by position so the result is symmetric for
-        # equal lengths given (a, b) ordered by clip_id upstream
         ref, other = (pcm_a, pcm_b) if pcm_a.size >= pcm_b.size else (pcm_b, pcm_a)
         snr = audio.snr_db(ref, other, cap=cfg.snr_cap_db)
     t_eq = ca == cb
@@ -95,42 +102,119 @@ def verify_pair(
     }
 
 
-def verify_candidates(
-    candidates: DataFrame, clips: DataFrame, cfg: DedupConfig
-) -> DataFrame:
-    """candidates(clip_a, clip_b, source) x clips -> verified edges."""
-    payload = clips.select("clip_id", "bytes", "codec", "transcript")
-    joined = (
-        candidates.join(
-            payload.select(
-                F.col("clip_id").alias("clip_a"),
-                F.col("bytes").alias("bytes_a"),
-                F.col("codec").alias("codec_a"),
-                F.col("transcript").alias("transcript_a"),
-            ),
-            "clip_a",
-        )
-        .join(
-            payload.select(
-                F.col("clip_id").alias("clip_b"),
-                F.col("bytes").alias("bytes_b"),
-                F.col("codec").alias("codec_b"),
-                F.col("transcript").alias("transcript_b"),
-            ),
-            "clip_b",
+def _text_relation_cols(ta, tb, sh_a, sh_b, cfg: DedupConfig):
+    """JVM column expressions matching verify_pair's text relations."""
+    t_eq = ta == tb
+    pad_a = F.concat(F.lit(" "), ta, F.lit(" "))
+    pad_b = F.concat(F.lit(" "), tb, F.lit(" "))
+    cont = (
+        (ta != "")
+        & (tb != "")
+        & ~t_eq
+        & F.when(F.length(ta) <= F.length(tb), F.contains(pad_b, pad_a)).otherwise(
+            F.contains(pad_a, pad_b)
         )
     )
+    ham = F.bit_count(sh_a.bitwiseXOR(sh_b)).cast("int")
+    return t_eq, cont, ham
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                pa = audio.decode_pcm(r.bytes_a, r.codec_a)
-                pb = audio.decode_pcm(r.bytes_b, r.codec_b)
-                v = verify_pair(pa, pb, r.transcript_a, r.transcript_b, cfg)
-                rows.append(
-                    {"clip_a": r.clip_a, "clip_b": r.clip_b, "source": r.source, **v}
+
+def verify_candidates(
+    candidates: DataFrame,
+    clips: DataFrame,
+    cfg: DedupConfig,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """candidates(clip_a, clip_b, source) -> verified edges (see module
+    docstring for the fast/slow execution split)."""
+    if signatures is None:
+        from quichash_spark.functions.udfs import compute_signatures
+
+        signatures = compute_signatures(clips, cfg)
+    lite = signatures.select("clip_id", "pcm_hash", "simhash", "transcript")
+    p = candidates.join(
+        lite.select(
+            F.col("clip_id").alias("clip_a"),
+            F.col("pcm_hash").alias("ph_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col("transcript").alias("ta"),
+        ),
+        "clip_a",
+    ).join(
+        lite.select(
+            F.col("clip_id").alias("clip_b"),
+            F.col("pcm_hash").alias("ph_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col("transcript").alias("tb"),
+        ),
+        "clip_b",
+    )
+
+    same_pcm = F.col("ph_a").isNotNull() & (F.col("ph_a") == F.col("ph_b"))
+    t_eq, cont, ham = _text_relation_cols(
+        F.col("ta"), F.col("tb"), F.col("sh_a"), F.col("sh_b"), cfg
+    )
+
+    fast = p.filter(same_pcm).select(
+        "clip_a",
+        "clip_b",
+        "source",
+        F.lit(float(cfg.snr_cap_db)).alias("snr_db"),
+        t_eq.alias("transcript_equal"),
+        cont.alias("containment"),
+        ham.alias("hamming"),
+        (t_eq | cont | (ham <= cfg.simhash_hamming_r)).alias("accepted"),
+    )
+
+    slow_pairs = p.filter(~same_pcm | F.col("ph_a").isNull() | F.col("ph_b").isNull()).select(
+        F.concat("clip_a", F.lit("|"), "clip_b").alias("pair_id"),
+        "clip_a",
+        "clip_b",
+        "source",
+    )
+    membership = slow_pairs.select(
+        "pair_id", "clip_a", "clip_b", "source",
+        F.col("clip_a").alias("clip_id"), F.lit("a").alias("side"),
+    ).unionByName(
+        slow_pairs.select(
+            "pair_id", "clip_a", "clip_b", "source",
+            F.col("clip_b").alias("clip_id"), F.lit("b").alias("side"),
+        )
+    )
+    # pairs << corpus (enforced by the LSH bucket caps) => membership and
+    # its id set are broadcastable; corpus bytes never shuffle un-pruned
+    ids = membership.select("clip_id").distinct()
+    payload = clips.join(F.broadcast(ids), "clip_id").select(
+        "clip_id", "bytes", "codec", "transcript"
+    )
+    tagged = payload.join(F.broadcast(membership), "clip_id")
+
+    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pair_id, g in pdf.groupby("pair_id", sort=False):
+            first = g.iloc[0]
+            sides = {r.side: r for r in g.itertuples(index=False)}
+            a, b = sides.get("a"), sides.get("b")
+            if a is None or b is None:
+                v = {
+                    "snr_db": float("-inf"), "transcript_equal": False,
+                    "containment": False, "hamming": 64, "accepted": False,
+                }
+            else:
+                v = verify_pair(
+                    audio.decode_pcm(a.bytes, a.codec),
+                    audio.decode_pcm(b.bytes, b.codec),
+                    a.transcript,
+                    b.transcript,
+                    cfg,
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in VERIFIED_SCHEMA.fields])
+            rows.append(
+                {"clip_a": first["clip_a"], "clip_b": first["clip_b"],
+                 "source": first["source"], **v}
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in VERIFIED_SCHEMA.fields])
 
-    return joined.mapInPandas(batches, VERIFIED_SCHEMA)
+    slow = tagged.groupBy("pair_id").applyInPandas(
+        lambda pdf: verify_group(pdf), VERIFIED_SCHEMA
+    )
+    return fast.unionByName(slow)

@@ -26,8 +26,6 @@ from quichash_spark.functions.udfs import compute_signatures
 from quichash_spark.operators.connected_components import connected_components
 from quichash_spark.operators.containment import containment_candidates
 from quichash_spark.operators.exact_dedup import exact_duplicate_edges, exact_duplicate_groups
-from quichash_spark.operators.lsh import lsh_candidates
-from quichash_spark.operators.simhash_probe import simhash_candidates
 from quichash_spark.operators.verify import verify_candidates
 from quichash_spark.storage import CheckpointStore
 
@@ -49,8 +47,7 @@ def _stage(store: CheckpointStore, name: str, build, timings: dict[str, float]) 
         return store.read(name)
     t0 = time.monotonic()
     df = build()
-    out = store.write(df, name)
-    store.append_metrics(name, out)
+    out = store.write(df, name)  # records per-partition lineage metrics too
     timings[name] = round(time.monotonic() - t0, 3)
     return out
 
@@ -61,6 +58,7 @@ def run_pipeline(
     checkpoint_dir: str,
     cfg: DedupConfig = CLIPS_CONFIG,
     use_pcm_lsh: bool = True,
+    use_containment: bool = False,
 ) -> PipelineResult:
     timings: dict[str, float] = {}
     store = CheckpointStore(spark, checkpoint_dir, cfg)
@@ -75,34 +73,32 @@ def run_pipeline(
     )
 
     def build_candidates() -> DataFrame:
-        text_pairs, text_dropped = lsh_candidates(signatures, cfg, "minhash_text", "lsh_text")
-        sim_pairs, sim_dropped = simhash_candidates(signatures, cfg)
-        cont_pairs = containment_candidates(signatures, cfg)
-        parts = [text_pairs, sim_pairs, cont_pairs]
-        if use_pcm_lsh:
-            pcm_pairs, pcm_dropped = lsh_candidates(signatures, cfg, "minhash_pcm", "lsh_pcm")
-            parts.append(pcm_pairs)
-            store.append_metrics("lsh_pcm_dropped", pcm_dropped)
-        store.append_metrics("lsh_text_dropped", text_dropped)
-        store.append_metrics("simhash_dropped", sim_dropped)
-        cands = parts[0]
-        for p in parts[1:]:
-            cands = cands.unionByName(p)
-        # one verification per pair; keep the list of generating channels
-        return (
-            cands.groupBy("clip_a", "clip_b")
-            .agg(F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("source"))
-        )
+        from quichash_spark.operators.lsh import unified_candidates
+
+        # every channel (text LSH, pcm LSH, simhash chunks) through ONE
+        # bucket table => one sizes pass, one kept-join, one self-join
+        pairs, dropped = unified_candidates(signatures, cfg, use_pcm=use_pcm_lsh)
+        store.append_metrics("buckets_dropped", dropped)
+        if use_containment:
+            # redundant with lsh_text + the verify kernel's containment
+            # acceptance (same buckets) — off by default, available for
+            # configs that cap pair generation harder than bucket scans
+            cont = containment_candidates(signatures, cfg)
+            pairs = (
+                pairs.unionByName(cont.withColumnRenamed("source", "source"))
+                .groupBy("clip_a", "clip_b")
+                .agg(F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("source"))
+            )
+        return pairs
 
     candidates = _stage(store, "candidates", build_candidates, timings)
 
-    # exact pairs are proven identical by content hash — skip re-verification
-    # (the reference's verify recomputes because files can change under it;
-    # our signatures checkpoint is immutable within a run)
+    # exact pairs need no re-verification (proven identical by content
+    # hash) but they also cost nothing: identical pcm_hash routes them
+    # through the JVM fast path where transcript equality accepts them —
+    # so no anti-join barrier is spent carving them out
     def build_verified() -> DataFrame:
-        exact_keys = exact_edges.select("clip_a", "clip_b")
-        todo = candidates.join(exact_keys, ["clip_a", "clip_b"], "left_anti")
-        return verify_candidates(todo, clips, cfg)
+        return verify_candidates(candidates, clips, cfg, signatures=signatures)
 
     verified = _stage(store, "verified_edges", build_verified, timings)
 

@@ -39,15 +39,28 @@ def get_spark(
         # Arrow for every pandas UDF / mapInPandas exchange; bounded batch
         # size so large binary audio rows don't accumulate per batch.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # measured optimum for ~17KB binary rows on this stack: smaller
+        # batches beat the 10k default by 1.5x+ on the JVM<->Python
+        # exchange (large batches amplify copy+GC cost)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # 64m splits: JVM scan tasks are cheap, but every Python (Arrow
+        # exchange) task costs ~150ms of fixed protocol overhead on this
+        # stack — Python stages therefore coalesce/partition explicitly
+        # to a few fat tasks per core (see compute_signatures)
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # vectorized parquet reader buffers batchSize rows PER COLUMN per
+        # task: with ~17KB binary audio rows the 4096 default needs
+        # ~70MB/task just for the bytes column — 512 keeps executors with
+        # modest heaps safe
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark_local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

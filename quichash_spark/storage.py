@@ -76,14 +76,26 @@ class CheckpointStore:
         return str(self.base / stage)
 
     def write(self, df: DataFrame, stage: str, wall_ms: float | None = None) -> DataFrame:
-        """Idempotent overwrite of a stage table; marks the stage complete."""
+        """Idempotent overwrite of a stage table; marks the stage complete.
+
+        One read-back job covers BOTH the row count and the per-partition
+        lineage metrics (the metrics rows sum to the count); the tiny
+        metrics table is written driver-side, so checkpointing costs one
+        write job + one aggregate job per stage, no more.
+        """
         t0 = time.monotonic()
         if self.use_iceberg:
             df.writeTo(f"{self.iceberg_namespace}.{stage}").createOrReplace()
         else:
             df.write.mode("overwrite").parquet(self._table_path(stage))
         out = self.read(stage)
-        rows = out.count()
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .collect()
+        )
+        rows = sum(r["rows_out"] for r in per_part)
+        self._append_metrics_rows(stage, [(r["partition_id"], r["rows_out"]) for r in per_part])
         manifest = self._read_manifest()
         manifest[stage] = {
             "status": "complete",
@@ -109,22 +121,37 @@ class CheckpointStore:
             shutil.rmtree(p)
 
     # -- metrics (per-partition lineage) ------------------------------------
-    def append_metrics(self, stage: str, df: DataFrame) -> None:
-        """Record per-partition row counts for ``stage`` (lineage rows).
-
-        Uses ``spark_partition_id`` so skew is visible per stage — the
+    def _append_metrics_rows(self, stage: str, parts: list[tuple[int, int]]) -> None:
+        """Driver-side parquet append of per-partition lineage rows — the
         engine's replacement for the reference's Arc<Mutex> running
-        counters (/root/reference/src/scan.rs:299-303).
-        """
-        rows = (
+        counters (/root/reference/src/scan.rs:299-303).  Spark-readable,
+        but costs no Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mdir = self.base / "_metrics"
+        mdir.mkdir(parents=True, exist_ok=True)
+        ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+        table = pa.table(
+            {
+                "stage": pa.array([stage] * len(parts), pa.string()),
+                "partition_id": pa.array([p for p, _ in parts], pa.int32()),
+                "rows_out": pa.array([n for _, n in parts], pa.int64()),
+                "config_hash": pa.array([self.cfg_hash] * len(parts), pa.string()),
+                "ts": pa.array([ts] * len(parts), pa.string()),
+            }
+        )
+        pq.write_table(table, mdir / f"{stage}_{int(time.time() * 1000)}.parquet")
+
+    def append_metrics(self, stage: str, df: DataFrame) -> None:
+        """Aggregate per-partition counts of ``df`` into the metrics table
+        (one Spark job + driver-side write)."""
+        per_part = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(stage))
-            .withColumn("config_hash", F.lit(self.cfg_hash))
-            .withColumn("ts", F.lit(time.strftime("%Y-%m-%dT%H:%M:%S")))
-            .select("stage", "partition_id", "rows_out", "config_hash", "ts")
+            .collect()
         )
-        rows.write.mode("append").parquet(str(self.base / "_metrics"))
+        self._append_metrics_rows(stage, [(r["partition_id"], r["rows_out"]) for r in per_part])
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(str(self.base / "_metrics"))

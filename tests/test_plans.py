@@ -1,0 +1,77 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast, codegen.
+
+These encode the scale contract: a scan that reads every column for a
+two-column projection, or a filter evaluated above the scan, is a bug
+even when results are correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quichash_spark.plans.inspect import (
+    codegen_stage_count,
+    pushed_filters,
+    read_schema,
+    uses_broadcast_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    pf = pushed_filters(q)
+    assert "lang" in pf and "en" in pf, pf
+
+
+def test_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.select("doc_id", "n_chars")
+    rs = read_schema(q)
+    assert "text" not in rs, rs  # the wide column must not be read
+    assert "doc_id" in rs and "n_chars" in rs
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    q = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    assert uses_broadcast_join(q)
+
+
+def test_verify_fast_path_is_jvm_only(spark, tiny_clips):
+    """The fast verification path must contain no Python evaluation."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.lsh import unified_candidates
+    from quichash_spark.operators.verify import verify_candidates
+    from quichash_spark.plans.inspect import explain_str
+
+    sigs = compute_signatures(tiny_clips, CLIPS_CONFIG)
+    cands, _ = unified_candidates(sigs, CLIPS_CONFIG)
+    verified = verify_candidates(cands, tiny_clips, CLIPS_CONFIG, signatures=sigs)
+    plan = explain_str(verified, mode="simple")
+    # no row-at-a-time Python anywhere; exactly one grouped-pandas node
+    # (the slow-path SNR kernel) — the fast-path branch is pure JVM
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_scan_agg_stays_in_codegen(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    assert codegen_stage_count(q) >= 1

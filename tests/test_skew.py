@@ -1,0 +1,47 @@
+"""Skew-handling tests: salted repartitioning + hot-bucket caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from quichash_spark.operators.lsh import salted_repartition
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    # one hot key owning 90% of rows
+    rows = [Row(clip_id=f"c{i}", band_key=0 if i < 900 else i) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    salted = salted_repartition(df, ["band_key"], salt_buckets=8, num_partitions=16)
+    per_part = (
+        salted.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum(F.when(F.col("band_key") == 0, 1).otherwise(0)).alias("hot"))
+        .filter(F.col("hot") > 0)
+        .collect()
+    )
+    # the hot key's 900 rows land on several partitions, none dominant
+    assert len(per_part) >= 4
+    assert max(r["hot"] for r in per_part) < 900
+    # no rows lost
+    assert salted.count() == 1000
+
+
+def test_unified_candidates_drops_hot_and_reports(spark, tiny_clips):
+    from dataclasses import replace
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.lsh import unified_candidates
+
+    sigs = compute_signatures(tiny_clips, CLIPS_CONFIG).cache()
+    capped = replace(CLIPS_CONFIG, band_bucket_cap=5)
+    pairs, dropped = unified_candidates(sigs, capped, use_pcm=True)
+    # the "ok" hot band exceeds cap on all 32 text bands AND all 4
+    # simhash chunks (identical simhash)
+    assert dropped.count() >= 36
+    ok_ids = {
+        r["clip_id"]
+        for r in sigs.filter(F.col("transcript") == "ok").select("clip_id").collect()
+    }
+    got = {(r["clip_a"], r["clip_b"]) for r in pairs.collect()}
+    assert not {(a, b) for a in ok_ids for b in ok_ids if a < b} & got
