@@ -117,6 +117,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.n_tokens_bpe(F.col("text")).cast("long").alias("n_tokens_bpe")
+    )
+
+
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprint overlap pairs — rows-only."""
+    from quichash_spark.functions.winnow import fingerprint_overlap_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    # this synthetic corpus shares a tiny vocabulary, so low-overlap pairs
+    # are ubiquitous; report the top overlaps (deterministic tie-break)
+    return (
+        fingerprint_overlap_pairs(docs, min_shared=3)
+        .orderBy(F.desc("shared_fingerprints"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
@@ -137,6 +158,15 @@ def q_multi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.algorithm_from_hash_length(F.md5("text")).alias("algo_md5"),
         T.algorithm_from_hash_length(F.sha2(F.col("text"), 256)).alias("algo_sha256"),
     )
+
+
+def q_fast_mode_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P3 (fast-mode sampled hashing, src/hash.rs:977-1066):
+    digest of first/middle/last regions above a size threshold."""
+    from quichash_spark.functions.hashreg import fast_mode_md5
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fast_mode_md5(F.col("text")).alias("fast_md5"))
 
 
 def _markers_sql(lang: str) -> str:
@@ -410,9 +440,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "text_stats": q_text_stats,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "doc_winnow_pairs": q_doc_winnow_pairs,
     "text_langid": q_text_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "multi_hash": q_multi_hash,
+    "fast_mode_hash": q_fast_mode_hash,
     "verify_classification": q_verify_classification,
     "compare_dbs": q_compare_dbs,
     "moved_detection": q_moved_detection,
@@ -453,6 +486,11 @@ ORACLE_SQL: dict[str, str] = {
           length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT as token_chars
         from documents
     """,
+    "text_bpe_tokens": f"""
+        select doc_id,
+               len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))::BIGINT as n_tokens_bpe
+        from documents
+    """,
     "text_langid": f"""
         select doc_id,
           case
@@ -475,6 +513,15 @@ ORACLE_SQL: dict[str, str] = {
     "multi_hash": """
         select doc_id, md5(text) as md5_hex, sha256(text) as sha256_hex,
                'md5' as algo_md5, 'sha256' as algo_sha256
+        from documents
+    """,
+    "fast_mode_hash": """
+        select doc_id,
+               case when length(text) > 300
+                    then md5(substr(text, 1, 100)
+                             || substr(text, ((length(text) - 100) // 2) + 1, 100)
+                             || substr(text, length(text) - 99, 100))
+                    else md5(text) end as fast_md5
         from documents
     """,
     "verify_classification": """

@@ -1,0 +1,117 @@
+"""Scalar hash-function registry — the engine's mirror of quichash's
+15-algorithm kernel registry (F1, /root/reference/src/hash.rs:12-21,
+320-439) and fast-mode sampled hashing (P3, src/hash.rs:977-1066).
+
+Dispatch policy (SURVEY.md §2.7): algorithms with JVM built-ins stay in
+whole-stage codegen (`F.md5`, `F.sha1`, `F.sha2`, `F.xxhash64`, `F.crc32`);
+the rest (SHA3 family, BLAKE2) run as Arrow-vectorized pandas UDFs over
+Python's hashlib — never per-row Python UDFs.  BLAKE3/xxh128 have no
+hashlib kernel in this environment and are registered as stubs, exactly
+like the audio codec stubs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def _jvm(fn: Callable[[Column], Column]) -> Callable[[Column], Column]:
+    return fn
+
+
+def _hashlib_udf(algo: str) -> Callable[[Column], Column]:
+    @F.pandas_udf(StringType())
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: hashlib.new(algo, v if isinstance(v, bytes) else str(v).encode("utf-8")).hexdigest()
+            if v is not None
+            else None
+        )
+
+    return lambda col: _h(col)
+
+
+def _stub(name: str) -> Callable[[Column], Column]:
+    def _raise(_: Column) -> Column:
+        raise NotImplementedError(
+            f"{name}: no kernel in this environment; install the wheel and "
+            "register a pandas_udf in HASH_REGISTRY (mirrors quichash's "
+            "pluggable Hasher trait, src/hash.rs:12-21)"
+        )
+
+    return _raise
+
+
+#: algorithm name -> (Column -> hex-string Column).  JVM-native entries
+#: marked; the reference's full catalog is covered (src/hash.rs:346-439).
+HASH_REGISTRY: dict[str, Callable[[Column], Column]] = {
+    # JVM built-ins (whole-stage codegen)
+    "md5": _jvm(lambda c: F.md5(c)),
+    "sha1": _jvm(lambda c: F.sha1(c)),
+    "sha256": _jvm(lambda c: F.sha2(c, 256)),
+    "sha224": _jvm(lambda c: F.sha2(c, 224)),
+    "sha384": _jvm(lambda c: F.sha2(c, 384)),
+    "sha512": _jvm(lambda c: F.sha2(c, 512)),
+    "crc32": _jvm(lambda c: F.lower(F.hex(F.crc32(c)))),
+    "xxh64": _jvm(lambda c: F.lower(F.hex(F.xxhash64(c)))),
+    # Arrow-vectorized hashlib kernels
+    "sha3-224": _hashlib_udf("sha3_224"),
+    "sha3-256": _hashlib_udf("sha3_256"),
+    "sha3-384": _hashlib_udf("sha3_384"),
+    "sha3-512": _hashlib_udf("sha3_512"),
+    "blake2b": _hashlib_udf("blake2b"),
+    "blake2s": _hashlib_udf("blake2s"),
+    # stubs (no kernel available here)
+    "blake3": _stub("blake3"),
+    "xxh128": _stub("xxh128"),
+}
+
+
+def hash_column(col: Column, algorithm: str) -> Column:
+    """Dispatch like quichash's HashRegistry::get_hasher
+    (src/hash.rs:320-343); unknown algorithm raises KeyError with the
+    catalog, mirroring its error path."""
+    try:
+        return HASH_REGISTRY[algorithm](col)
+    except KeyError:
+        raise KeyError(
+            f"unknown algorithm {algorithm!r}; available: {sorted(HASH_REGISTRY)}"
+        ) from None
+
+
+def multi_hash(col: Column, algorithms: list[str]) -> list[Column]:
+    """Single-pass multi-hash (reference P2, src/hash.rs:814-967): one
+    select evaluating N hash expressions per batch in one scan."""
+    return [hash_column(col, a).alias(a.replace("-", "_")) for a in algorithms]
+
+
+# ---------------------------------------------------------------------------
+# fast-mode sampled hashing (reference P3, src/hash.rs:977-1066)
+# ---------------------------------------------------------------------------
+
+FAST_MODE_THRESHOLD = 300  # sample when longer than this (ref: 300 MB files)
+FAST_MODE_SAMPLE = 100     # bytes per region (ref: 100 MB regions)
+
+
+def fast_mode_md5(col: Column, threshold: int = FAST_MODE_THRESHOLD,
+                  sample: int = FAST_MODE_SAMPLE) -> Column:
+    """Sampled digest: md5 over first/middle/last ``sample`` units when the
+    value exceeds ``threshold``, else over the whole value — quichash fast
+    mode scaled down (src/hash.rs:466-467,977-1032: 3x100MB regions above
+    300MB).  Pure JVM (substring arithmetic), SQL-expressible for the
+    DuckDB oracle."""
+    n = F.length(col)
+    mid_start = F.floor((n - F.lit(sample)) / F.lit(2)) + F.lit(1)
+    sampled = F.concat(
+        col.substr(F.lit(1), F.lit(sample)),
+        col.substr(mid_start.cast("int"), F.lit(sample)),
+        col.substr((n - F.lit(sample) + F.lit(1)).cast("int"), F.lit(sample)),
+    )
+    return F.when(n > threshold, F.md5(sampled)).otherwise(F.md5(col))

@@ -35,6 +35,17 @@ def n_tokens(col: Column) -> Column:
     )
 
 
+#: BPE-ish pre-tokenizer: word pieces OR single non-space-non-word chars —
+#: the GPT-2-style pretokenization shape, minus byte-level merges (counts
+#: approximate subword token volume for corpus budgeting)
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def n_tokens_bpe(col: Column) -> Column:
+    """Approximate subword token count via the BPE-ish pre-tokenizer."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 def n_punct(col: Column) -> Column:
     """Count of ASCII punctuation characters."""
     return F.regexp_count(col, F.lit(r"[!-/:-@\[-`{-~]"))

@@ -1,0 +1,110 @@
+"""Reports, BPE-ish token counting, winnowing fingerprints, streaming
+dedup, glob source."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from quichash_spark.functions import winnow as W
+from quichash_spark.sources.reports import dedup_report, human_size, write_json_report
+
+
+def test_human_size():
+    assert human_size(512) == "512 B"
+    assert human_size(2048) == "2.00 KB"
+    assert human_size(5 * 1024**3) == "5.00 GB"
+    assert human_size(3 * 1024**4) == "3.00 TB"
+
+
+def test_dedup_report_and_json_sink(spark, tiny_clips, tmp_path):
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.exact_dedup import exact_duplicate_groups
+
+    sigs = compute_signatures(tiny_clips, CLIPS_CONFIG)
+    groups = exact_duplicate_groups(sigs)
+    clusters = sigs.select("clip_id", F.col("clip_id").alias("cluster_id"))
+    rep = dedup_report(groups, clusters, duration_sec=1.5)
+    assert rep["total_clips"] == 200
+    assert rep["exact_duplicate_groups"] == 10  # one per block of 20
+    assert rep["wasted_human"].endswith(("B", "KB", "MB"))
+    write_json_report(rep, groups.drop("clip_ids"), str(tmp_path / "rep"))
+    loaded = json.loads((tmp_path / "rep" / "summary.json").read_text())
+    assert loaded["exact_duplicate_groups"] == 10
+    back = spark.read.json(str(tmp_path / "rep" / "detail"))
+    assert back.count() == 10
+
+
+def test_winnow_kernel_properties():
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    fp1 = W.winnow(base)
+    assert fp1.size > 0
+    assert (W.winnow(base) == fp1).all()  # deterministic
+    # shared long substring => shared fingerprints (winnowing guarantee)
+    other = "PREFIX " + base[: len(base) // 2] + " SUFFIX"
+    shared = np.intersect1d(fp1, W.winnow(other))
+    assert shared.size >= 1
+    # unrelated text shares ~nothing
+    rand = " ".join(f"tok{i}x" for i in range(60))
+    assert np.intersect1d(fp1, W.winnow(rand)).size == 0
+    assert W.winnow("").size == 0
+    assert W.winnow("short").size == 0  # below k-gram size
+
+
+def test_fingerprint_overlap_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta " * 3),
+            Row(doc_id=2, text="XX alpha beta gamma delta epsilon zeta eta theta " * 3),
+            Row(doc_id=3, text="totally unrelated content here nothing shared at all okay"),
+        ]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in W.fingerprint_overlap_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bpe_ish_token_count(spark):
+    from quichash_spark.functions.text import n_tokens_bpe
+
+    df = spark.createDataFrame([Row(t="Hello, world! x2"), Row(t="")])
+    got = [r["n"] for r in df.select(n_tokens_bpe(F.col("t")).alias("n")).collect()]
+    # Hello , world ! x 2 -> 6 pieces; empty -> 0
+    assert got == [6, 0]
+
+
+def test_stream_exact_dedup_matches_batch(spark, tiny_clips, tmp_path):
+    import shutil
+
+    from quichash_spark.streaming.dedup import stream_exact_dedup
+
+    src = tmp_path / "clips_src"
+    tiny_clips.write.mode("overwrite").parquet(str(src))
+    got = stream_exact_dedup(spark, str(src), str(tmp_path / "ckpt"))
+    # one row per distinct content hash
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+
+    expected = (
+        compute_signatures(tiny_clips, CLIPS_CONFIG)
+        .filter("decode_ok")
+        .select("content_hash")
+        .distinct()
+        .count()
+    )
+    assert got.count() == expected
+    assert got.select("content_hash").distinct().count() == expected
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_glob_source(spark, tiny_clips, tmp_path):
+    """Reference S6 (wildcard expansion, src/wildcard.rs:23-69): path
+    globs resolve at the reader."""
+    for part in ("a", "b"):
+        tiny_clips.limit(10).write.mode("overwrite").parquet(str(tmp_path / f"dir_{part}"))
+    df = spark.read.parquet(str(tmp_path / "dir_*"))
+    assert df.count() == 20
