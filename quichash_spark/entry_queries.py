@@ -301,7 +301,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ann_lsh_topk(queries, emb, k=5, dim=dim)
+    return S.ann_lsh_topk(queries, emb, k=5, dim=dim, n_planes=6, n_tables=16)
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk": q_sim_topk,
     "sim_neardup": q_sim_neardup,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ivf": q_sim_ivf,
     "events_windowed": q_events_windowed,
     "events_json": q_events_json,
     "pricing_summary": q_pricing_summary,

@@ -98,10 +98,18 @@ def containment_candidates(
     texts = signatures.select(
         "clip_id", "transcript", F.xxhash64("transcript").alias("thash")
     )
+    from quichash_spark.operators.lsh import salted_repartition
+
     bucket_texts = (
         kept.join(texts, "clip_id")
         .select("band_idx", "band_key", "transcript", "thash")
         .dropDuplicates(["band_idx", "band_key", "thash"])
+    )
+    # hot band keys would pile distinct-text rows of one bucket into one
+    # task; salting spreads the *shuffle*, and the grouped scan below
+    # re-groups by exact key (north_rule explicit skew handling)
+    bucket_texts = salted_repartition(
+        bucket_texts, ["band_idx", "band_key"], cfg.salt_buckets, salt_source="thash"
     )
     text_pairs = (
         bucket_texts.groupBy("band_idx", "band_key")

@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -102,22 +103,28 @@ def neardup_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id",
     )
 
 
-def hyperplane_bits_expr(vec: str, planes: np.ndarray):
-    """LongType sign-bit key of a vector against ``planes`` (n_planes, dim).
+def hyperplane_buckets_udf(planes_by_table: "np.ndarray"):
+    """pandas_udf: embedding -> array<long> of bucket keys, one per table.
 
-    Built-in-only: per plane, sign(dot(v, plane)) folded into a bit mask.
-    Planes are broadcast literal arrays (seed-frozen, partition-safe).
+    One numpy matmul covers every (table, plane) pair — the Arrow-batched
+    replacement for chaining n_tables*n_planes ``aggregate`` expressions
+    (which blows up codegen size and wall time).  Planes are broadcast as
+    a serialized constant (seed-frozen, partition-safe).
     """
-    bits = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(F.col(vec), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits = bits + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bits
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_tables, n_planes, _dim = planes_by_table.shape
+    flat = planes_by_table.reshape(n_tables * n_planes, -1)  # (T*P, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ flat.T) > 0  # (n, T*P)
+        bits = signs.reshape(len(mat), n_tables, n_planes) @ weights  # (n, T)
+        return pd.Series(list(bits.astype(np.int64)))
+
+    return _buckets
 
 
 def ann_lsh_topk(
@@ -135,26 +142,111 @@ def ann_lsh_topk(
     """Approximate top-k: score only within matching hyperplane buckets
     across ``n_tables`` independent tables (union of candidates), then
     exact cosine + rank.  Recall grows with n_tables; scale path for the
-    corpus-x-corpus case where the cross join is infeasible."""
+    corpus-x-corpus case where the cross join is infeasible.
+
+    Bucket keys for ALL tables come from one vectorized matmul per batch;
+    the per-table equi-join key is (table_idx, bucket) via posexplode —
+    the same unified-bucket-table shape as the MinHash LSH stage.
+    """
     rng = np.random.default_rng(seed)
-    cands = None
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        qb = queries.select(
-            F.col(id_left).alias("query_id"),
-            F.col(vec).alias("qv"),
-            hyperplane_bits_expr(vec, planes).alias("bucket"),
-        )
-        cb = corpus.select(
-            F.col(id_right).alias("neighbor_id"),
-            F.col(vec).alias("nv"),
-            hyperplane_bits_expr(vec, planes).alias("bucket"),
-        )
-        c = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-        c = c.select("query_id", "neighbor_id", "qv", "nv")
-        cands = c if cands is None else cands.unionByName(c)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    buckets = hyperplane_buckets_udf(planes)
+
+    qb = queries.select(
+        F.col(id_left).alias("query_id"),
+        F.col(vec).alias("qv"),
+        F.posexplode(buckets(F.col(vec))).alias("table_idx", "bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_right).alias("neighbor_id"),
+        F.col(vec).alias("nv"),
+        F.posexplode(buckets(F.col(vec))).alias("table_idx", "bucket"),
+    )
+    cands = (
+        qb.join(cb, ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot("qv", "nv") / (_norm("qv") * _norm("nv"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    sample_limit: int = 10_000,
+    id_left: str = "vec_id",
+    id_right: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: tiny k-means trained driver-side on a bounded
+    sample (centroids are broadcast constants); corpus rows are assigned
+    to their nearest centroid (one matmul per batch), queries probe their
+    ``n_probe`` nearest cells, and exact cosine runs only within probed
+    cells.  The standard IVF recall/cost dial: n_probe=n_centroids
+    degenerates to brute force.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sample = np.asarray(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec).limit(sample_limit).collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(centroids.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    @F.pandas_udf(IntegerType())
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    cb = corpus.select(
+        F.col(id_right).alias("neighbor_id"),
+        F.col(vec).alias("nv"),
+        nearest_cell(F.col(vec)).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_left).alias("query_id"),
+        F.col(vec).alias("qv"),
+        F.explode(probe_cells(F.col(vec))).alias("cell"),
+    )
     scored = (
-        cands.dropDuplicates(["query_id", "neighbor_id"])
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -81,4 +81,6 @@ def test_every_query_has_callable_and_oracle_coverage():
     # every non-SQL query is one of the documented rows-only families
     rows_only = set(qs) - set(sqls)
     for name in rows_only:
-        assert name.startswith(("clips_", "dedup_simhash", "sim_ann", "doc_winnow")), name
+        assert name.startswith(
+            ("clips_", "dedup_simhash", "sim_ann", "sim_ivf", "doc_winnow")
+        ), name
