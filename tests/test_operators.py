@@ -189,3 +189,18 @@ def test_connected_components_shapes(spark):
     # star already
     got = cc([("m", "n"), ("m", "o")])
     assert got == {"m": "m", "n": "m", "o": "m"}
+
+
+def test_connected_components_long_chain(spark):
+    """Worst-case diameter graph: large-star/small-star converges in
+    O(log n) rounds, not O(n) (the scale property the DataFrame loop
+    exists for)."""
+    n = 1000
+    edges = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i+1:05d}") for i in range(n - 1)],
+        "clip_a string, clip_b string",
+    )
+    assign = connected_components(edges, max_iters=20)
+    rows = assign.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {"n00000"}

@@ -1,0 +1,101 @@
+"""Property-based kernel tests (hypothesis) — beyond the reference's
+example-based suite (SURVEY.md §5 notes it has no property tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quichash_spark.config import CLIPS_CONFIG
+from quichash_spark.functions import audio, hashing
+from quichash_spark.functions.winnow import winnow
+from quichash_spark.operators.verify import verify_pair
+
+CFG = CLIPS_CONFIG
+A_PARAMS, B_PARAMS = hashing.minhash_params(CFG)
+
+tokens = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyzабв日🎵", min_size=1, max_size=8),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(tokens)
+@settings(max_examples=50, deadline=None)
+def test_minhash_deterministic_and_shaped(toks):
+    t = " ".join(toks)
+    s1 = hashing.minhash_signature(hashing.shingle_hashes(t, CFG.k_shingle), A_PARAMS, B_PARAMS)
+    s2 = hashing.minhash_signature(hashing.shingle_hashes(t, CFG.k_shingle), A_PARAMS, B_PARAMS)
+    assert (s1 == s2).all() and s1.shape == (CFG.num_perm,)
+
+
+@given(tokens, tokens)
+@settings(max_examples=50, deadline=None)
+def test_minhash_estimate_bounded_by_identity(a, b):
+    ta, tb = " ".join(a), " ".join(b)
+    sa = hashing.minhash_signature(hashing.shingle_hashes(ta, CFG.k_shingle), A_PARAMS, B_PARAMS)
+    sb = hashing.minhash_signature(hashing.shingle_hashes(tb, CFG.k_shingle), A_PARAMS, B_PARAMS)
+    est = hashing.minhash_jaccard(sa, sb)
+    if ta == tb:
+        assert est == 1.0
+    assert 0.0 <= est <= 1.0
+
+
+@given(tokens)
+@settings(max_examples=50, deadline=None)
+def test_simhash_i64_range_and_hamming_triangleish(toks):
+    t = " ".join(toks)
+    s = hashing.simhash64_i64(t)
+    assert -(1 << 63) <= s < (1 << 63)
+    assert hashing.hamming64(s, s) == 0
+    chunks = hashing.simhash_chunks_i64(s, CFG.simhash_chunks)
+    rebuilt = 0
+    for i, c in enumerate(chunks):
+        assert 0 <= c < (1 << 16)
+        rebuilt |= c << (i * 16)
+    assert rebuilt == (s & 0xFFFFFFFFFFFFFFFF)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(400, 4000))
+@settings(max_examples=25, deadline=None)
+def test_snr_identity_and_symmetry_properties(seed, n):
+    rng = np.random.default_rng(seed)
+    sig = rng.normal(0, 2000, n).astype(np.int16)
+    assert audio.snr_db(sig, sig) == CFG.snr_cap_db
+    noisy = (sig + rng.normal(0, 50, n)).astype(np.int16)
+    got = audio.snr_db(sig, noisy)
+    # more noise can only lower SNR
+    noisier = (sig + rng.normal(0, 400, n)).astype(np.int16)
+    assert audio.snr_db(sig, noisier) <= got + 1e-9
+
+
+@given(st.text(alphabet="abcdef ", min_size=0, max_size=200), st.text(alphabet="abcdef ", min_size=0, max_size=80))
+@settings(max_examples=50, deadline=None)
+def test_winnow_shared_substring_guarantee(base, extra):
+    """Any shared substring of length >= k + w - 1 yields >= 1 shared
+    fingerprint (the winnowing paper's guarantee)."""
+    from quichash_spark.functions.winnow import K_GRAM, WINDOW
+
+    if len(base) < K_GRAM + WINDOW - 1:
+        return
+    doc_a = base
+    doc_b = extra + base + extra
+    shared = np.intersect1d(winnow(doc_a), winnow(doc_b))
+    assert shared.size >= 1
+
+
+@given(tokens, tokens)
+@settings(max_examples=30, deadline=None)
+def test_verify_pair_consistency(a, b):
+    ta, tb = " ".join(a), " ".join(b)
+    pcm = np.arange(1000, dtype=np.int16)
+    v = verify_pair(pcm, pcm.copy(), ta, tb, CFG)
+    # identical audio: SNR capped; acceptance reduces to the text relation
+    assert v["snr_db"] == CFG.snr_cap_db
+    assert v["accepted"] == (
+        v["transcript_equal"] or v["containment"] or v["hamming"] <= CFG.simhash_hamming_r
+    )
+    if ta == tb:
+        assert v["accepted"]
