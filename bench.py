@@ -63,21 +63,26 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
     from quichash_spark.pipeline import run_pipeline
     from quichash_spark.session import get_spark, stop_spark
 
-    stop_spark()
-    spark = get_spark(master, shuffle_partitions=shuffle_partitions, app_name=f"bench_{master}")
-    try:
-        from pyspark.sql import functions as F
+    best = None
+    for _ in range(trials):
+        # FRESH session per trial: the sandbox's Arrow-channel stalls are
+        # per-session (a session either starts healthy or doesn't), so
+        # best-of within one session cannot escape a bad one
+        stop_spark()
+        spark = get_spark(
+            master, shuffle_partitions=shuffle_partitions, app_name=f"bench_{master}"
+        )
+        try:
+            from pyspark.sql import functions as F
 
-        clips = materialized_clips(spark, n_clips)
-        # warm the OS page cache with a FULL scan (count() reads only
-        # parquet metadata) so neither parallelism level pays cold-disk
-        # reads inside the timed region
-        clips.agg(F.sum(F.length("bytes"))).collect()
-        # warmup run: python workers / JIT / codegen outside the timing
-        warm = materialized_clips(spark, 200)
-        run_pipeline(spark, warm, _fresh_dir("warmup"))
-        best = None
-        for _ in range(trials):
+            clips = materialized_clips(spark, n_clips)
+            # warm the OS page cache with a FULL scan (count() reads only
+            # parquet metadata) so neither parallelism level pays cold-disk
+            # reads inside the timed region
+            clips.agg(F.sum(F.length("bytes"))).collect()
+            # warmup run: python workers / JIT / codegen outside the timing
+            warm = materialized_clips(spark, 200)
+            run_pipeline(spark, warm, _fresh_dir("warmup"))
             ckpt = _fresh_dir(f"pipe_{master.replace('[', '_').rstrip(']')}")
             t0 = time.monotonic()
             res = run_pipeline(spark, clips, ckpt)
@@ -91,10 +96,10 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
                     "n_clusters": n_clusters,
                     "stage_seconds": res.stage_seconds,
                 }
-        return best
-    finally:
-        spark.stop()
-        shutil.rmtree("/tmp/quichash_bench", ignore_errors=True)
+        finally:
+            spark.stop()
+            shutil.rmtree("/tmp/quichash_bench", ignore_errors=True)
+    return best
 
 
 def main() -> None:
@@ -108,7 +113,7 @@ def main() -> None:
     n_clips = max(200, int(sf * 50_000))
     # the scaling comparison needs a compute-bound job: small corpora are
     # scheduler-latency-bound and cannot show parallel speedup
-    scaling_n = max(2000, int(sf * 1_000_000))
+    scaling_n = max(2000, int(sf * 2_000_000))
 
     from quichash_spark.entry_queries import QUERIES
     from quichash_spark.session import get_spark

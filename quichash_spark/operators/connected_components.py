@@ -77,7 +77,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = _edge_checksum(cur)
+    # no checksum on the raw input: the first comparison happens between
+    # rounds 1 and 2 (saves one driver barrier; convergence cannot occur
+    # before one round anyway unless the input is already a star set,
+    # which round 1 maps to itself)
+    prev_sig: tuple[int, int] | None = None
     for _ in range(max_iters):
         cur = _small_star(_large_star(cur)).localCheckpoint()
         sig = _edge_checksum(cur)

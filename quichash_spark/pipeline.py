@@ -25,7 +25,7 @@ from quichash_spark.config import CLIPS_CONFIG, DedupConfig
 from quichash_spark.functions.udfs import compute_signatures
 from quichash_spark.operators.connected_components import connected_components
 from quichash_spark.operators.containment import containment_candidates
-from quichash_spark.operators.exact_dedup import exact_duplicate_edges, exact_duplicate_groups
+from quichash_spark.operators.exact_dedup import exact_duplicate_groups
 from quichash_spark.operators.verify import verify_candidates
 from quichash_spark.storage import CheckpointStore
 
@@ -68,9 +68,12 @@ def run_pipeline(
     exact_groups = _stage(
         store, "exact_groups", lambda: exact_duplicate_groups(signatures), timings
     )
-    exact_edges = _stage(
-        store, "exact_edges", lambda: exact_duplicate_edges(signatures), timings
-    )
+    # star edges derive from the (tiny) groups table — no second
+    # checkpoint stage; clip_ids are sorted so element 1 is the group min
+    exact_edges = exact_groups.select(
+        F.element_at("clip_ids", 1).alias("clip_a"),
+        F.explode("clip_ids").alias("clip_b"),
+    ).filter(F.col("clip_a") != F.col("clip_b"))
 
     def build_candidates() -> DataFrame:
         from quichash_spark.operators.lsh import unified_candidates
