@@ -6,9 +6,13 @@ entry():      flagship — full near-dup pipeline (signatures -> exact dedup
               corpus, returning per-cluster summaries.
 queries():    one entry per implemented operator (SURVEY.md §2 + the
               training-data extensions); see quichash_spark.entry_queries.
-oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query; the
-              clip-pipeline / LSH-internal / ANN / streaming entries are
-              intentionally absent (rows-only checks).
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query.  The
+              flagship clip-pipeline stages and the doc simhash/winnow ops
+              are checked against parquet fixtures materialized by
+              independent sequential implementations (brute-force numpy
+              oracle / plain-Python LSH replica — see
+              quichash_spark/oracle/fixture.py); only ANN (approximate by
+              design) and streaming remain rows-only.
 """
 
 from __future__ import annotations
@@ -45,4 +49,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    """Oracle SQL per query.  Fixture-backed entries (flagship clips
+    pipeline + doc kernel fixtures) need their parquet materialized by the
+    independent sequential implementations first; if a fixture cannot be
+    built, those entries degrade to rows-only (key removed) instead of
+    handing the driver SQL that errors."""
+    from quichash_spark.entry_queries import CLIPS_FIXTURE_KEYS, DOCS_FIXTURE_KEYS
+
+    out = dict(ORACLE_SQL)
+    try:
+        from quichash_spark.oracle.fixture import ensure_clips_fixture
+
+        ensure_clips_fixture()
+    except Exception:  # noqa: BLE001 — degrade, never break the gate
+        for k in CLIPS_FIXTURE_KEYS:
+            out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_docs_fixture
+
+        ensure_docs_fixture()
+    except Exception:  # noqa: BLE001
+        for k in DOCS_FIXTURE_KEYS:
+            out.pop(k, None)
+    return out

@@ -389,7 +389,11 @@ def q_clips_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quichash_spark.functions.udfs import compute_signatures
 
     clips = materialized_clips(spark, _clips_n(sf_dir))
-    return compute_signatures(clips, CLIPS_CONFIG).drop("minhash_text", "minhash_pcm")
+    # scalar columns only: the driver's canonicalizer sorts every column,
+    # so array columns (minhash/band_keys) must not reach it
+    return compute_signatures(clips, CLIPS_CONFIG).drop(
+        "minhash_text", "minhash_pcm", "band_keys_text", "band_keys_pcm"
+    )
 
 
 def q_clips_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +479,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _STOPWORD_ALT = "|".join(T.STOPWORDS)
+
+# Oracle fixtures: deterministic parquet materialized by independent
+# sequential implementations (see quichash_spark/oracle/fixture.py for the
+# independence story per file).  Paths are pure functions of the frozen
+# config; __spark_entry__.oracle_sql() ensures they exist before the driver
+# reads them.  The clip-count is pinned to the driver's sf0.01 contract.
+from quichash_spark.oracle.fixture import (  # noqa: E402
+    DRIVER_N_CLIPS,
+    clips_fixture_dir,
+    docs_fixture_dir,
+)
+
+_CLIPS_FIX = clips_fixture_dir(DRIVER_N_CLIPS)
+_DOCS_FIX = docs_fixture_dir()
+
+#: oracle entries that depend on the clips / docs fixture parquet —
+#: dropped (degrading to rows-only) if the fixture cannot be built
+CLIPS_FIXTURE_KEYS = (
+    "clips_signatures",
+    "clips_exact_dedup",
+    "clips_clusters",
+    "clips_candidates",
+    "clips_containment",
+)
+DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -670,5 +699,53 @@ ORACLE_SQL: dict[str, str] = {
         join customer on o_custkey = c_custkey
         join nation on c_nationkey = n_nationkey
         group by n_name
+    """,
+    # --- fixture-backed oracles for the flagship clips pipeline ---
+    "clips_signatures": f"""
+        select clip_id, content_hash, pcm_hash, simhash, n_frames,
+               n_samples, transcript, decode_ok
+        from read_parquet('{_CLIPS_FIX}/signatures.parquet')
+    """,
+    "clips_exact_dedup": f"""
+        select content_hash, count(*)::BIGINT as n,
+               ((count(*) - 1) * any_value(n_samples) * 2)::BIGINT as wasted_bytes
+        from read_parquet('{_CLIPS_FIX}/signatures.parquet')
+        where content_hash is not null
+        group by content_hash having count(*) > 1
+    """,
+    "clips_clusters": f"""
+        select clip_id, cluster_id
+        from read_parquet('{_CLIPS_FIX}/clusters.parquet')
+    """,
+    "clips_candidates": f"""
+        select clip_a, clip_b, source
+        from read_parquet('{_CLIPS_FIX}/candidates.parquet')
+    """,
+    "clips_containment": f"""
+        select clip_a, clip_b, source
+        from read_parquet('{_CLIPS_FIX}/containment.parquet')
+    """,
+    # --- fixture-backed oracles for documents-table kernels ---
+    "dedup_simhash": f"""
+        select a.doc_id as doc_a, b.doc_id as doc_b
+        from read_parquet('{_DOCS_FIX}/doc_simhash.parquet') a
+        join read_parquet('{_DOCS_FIX}/doc_simhash.parquet') b
+          on a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "doc_winnow_pairs": f"""
+        with kept as (
+          select fp from read_parquet('{_DOCS_FIX}/doc_winnow.parquet')
+          group by fp having count(*) > 1 and count(*) <= 300
+        ), e as (
+          select w.doc_id, w.fp
+          from read_parquet('{_DOCS_FIX}/doc_winnow.parquet') w
+          join kept using (fp)
+        )
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               count(*)::BIGINT as shared_fingerprints
+        from e a join e b on a.fp = b.fp and a.doc_id < b.doc_id
+        group by 1, 2 having count(*) >= 3
+        order by shared_fingerprints desc, doc_a, doc_b limit 100
     """,
 }

@@ -16,10 +16,11 @@ Skew/scale notes:
   handled by the exact/LSH channels), so a million-clip constant-text
   bucket contributes ONE row here;
 - buckets above the LSH cap are already excluded upstream;
-- within a bucket, transcripts are sorted and neighbors prefix-scanned
-  (O(g log g), catches every prefix-slice pair); buckets small enough
-  (<= FULL_MATRIX_LIMIT distinct texts) additionally get the full
-  substring matrix so non-prefix containments are found too.
+- small buckets (<= FULL_MATRIX_LIMIT distinct texts) use the direct
+  substring matrix; larger ones build an Aho-Corasick automaton over the
+  padded transcripts and scan each transcript once — COMPLETE (finds
+  mid-slice containment, not just prefix slices) in
+  O(total pattern chars + total haystack chars + matches) per bucket.
 """
 
 from __future__ import annotations
@@ -46,6 +47,63 @@ def _contains(small: str, big: str) -> bool:
     return bool(small) and small != big and f" {big} ".find(f" {small} ") >= 0
 
 
+def _aho_corasick_pairs(texts: list[tuple[str, int]]) -> tuple[list[int], list[int]]:
+    """Complete containment scan for large buckets: automaton of all padded
+    transcripts, one pass per transcript.  Same token-slice semantics as
+    :func:`_contains` (padded-substring match, a != b, a non-empty)."""
+    from collections import deque
+
+    goto: list[dict[str, int]] = [{}]
+    fail: list[int] = [0]
+    out: list[list[int]] = [[]]
+    for idx, (t, _) in enumerate(texts):
+        if not t:
+            continue
+        node = 0
+        for ch in f" {t} ":
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                fail.append(0)
+                out.append([])
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].append(idx)
+    q: deque[int] = deque()
+    for n1 in goto[0].values():
+        q.append(n1)
+    while q:
+        u = q.popleft()
+        for ch, v in goto[u].items():
+            q.append(v)
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            nxt = goto[f].get(ch, 0)
+            fail[v] = nxt if nxt != v else 0
+            out[v].extend(out[fail[v]])
+
+    out_s: list[int] = []
+    out_b: list[int] = []
+    for j, (tj, hj) in enumerate(texts):
+        if not tj:
+            continue
+        node = 0
+        seen: set[int] = set()
+        for ch in f" {tj} ":
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            if out[node]:
+                seen.update(out[node])
+        for i in seen:
+            if i != j and texts[i][0] != tj:
+                out_s.append(texts[i][1])
+                out_b.append(hj)
+    return out_s, out_b
+
+
 def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     texts = sorted(set(zip(pdf["transcript"], pdf["thash"])))
     out_s: list[int] = []
@@ -61,17 +119,7 @@ def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
                     out_s.append(hi)
                     out_b.append(texts[j][1])
     else:
-        # prefix scan over the sort order: a prefix-slice pair sorts
-        # adjacently (possibly with other extensions of the same prefix in
-        # between, all of which also start with it)
-        for i in range(n - 1):
-            ti, hi = texts[i]
-            j = i + 1
-            while j < n and texts[j][0].startswith(ti):
-                if _contains(ti, texts[j][0]):
-                    out_s.append(hi)
-                    out_b.append(texts[j][1])
-                j += 1
+        out_s, out_b = _aho_corasick_pairs(texts)
     return pd.DataFrame({"thash_small": out_s, "thash_big": out_b})
 
 

@@ -119,11 +119,18 @@ def _text_relation_cols(ta, tb, sh_a, sh_b, cfg: DedupConfig):
     return t_eq, cont, ham
 
 
+#: default guard for broadcasting the slow-path membership table: ~60 B per
+#: membership row x 2 rows/pair keeps the build side well under Spark's 8 GB
+#: broadcast hard limit (and far under typical driver heaps)
+BROADCAST_PAIR_LIMIT = 20_000_000
+
+
 def verify_candidates(
     candidates: DataFrame,
     clips: DataFrame,
     cfg: DedupConfig,
     signatures: DataFrame | None = None,
+    broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """candidates(clip_a, clip_b, source) -> verified edges (see module
     docstring for the fast/slow execution split)."""
@@ -181,13 +188,24 @@ def verify_candidates(
             F.col("clip_b").alias("clip_id"), F.lit("b").alias("side"),
         )
     )
-    # pairs << corpus (enforced by the LSH bucket caps) => membership and
-    # its id set are broadcastable; corpus bytes never shuffle un-pruned
+    # pairs << corpus usually holds (enforced by the LSH bucket caps), but
+    # at 10^12-clip scale even capped candidate volume can exceed Spark's
+    # 8 GB broadcast hard limit — so broadcast only under a measured size
+    # guard and fall back to a shuffle semi-join otherwise (AQE still
+    # upgrades it to broadcast at runtime when the build side turns out
+    # small).  Corpus bytes never shuffle un-pruned on either path.
     ids = membership.select("clip_id").distinct()
-    payload = clips.join(F.broadcast(ids), "clip_id").select(
+    # conservative upper bound on slow-pair volume that's nearly free to
+    # measure: candidates is a checkpointed parquet in the pipeline, so
+    # count() reads footer metadata only
+    n_slow = candidates.count()
+    if n_slow <= broadcast_pair_limit:
+        ids = F.broadcast(ids)
+        membership = F.broadcast(membership)
+    payload = clips.join(ids, "clip_id", "left_semi").select(
         "clip_id", "bytes", "codec", "transcript"
     )
-    tagged = payload.join(F.broadcast(membership), "clip_id")
+    tagged = payload.join(membership, "clip_id")
 
     def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -1,0 +1,302 @@
+"""Driver-visible oracle fixtures for the clips pipeline + documents ops.
+
+The driver's correctness gate compares each Spark query against DuckDB SQL
+over parquet.  The flagship pipeline stages (signatures, exact dedup,
+candidates, clusters, containment) are not SQL-*derivable* — but they ARE
+SQL-*checkable* once an independent sequential implementation materializes
+the expected rows as parquet that the oracle SQL reads back.
+
+Independence story, per fixture:
+
+- ``clusters.parquet``  — the brute-force numpy oracle
+  (:mod:`quichash_spark.oracle.numpy_oracle`): exhaustive candidate
+  enumeration (NO LSH), the frozen verify kernel, union-find.  A hash
+  match proves the distributed LSH + verify + large-star/small-star CC
+  pipeline reproduces the exact transitive closure of verifiable pairs.
+- ``signatures.parquet`` — the same frozen numpy kernels executed
+  SEQUENTIALLY on the driver (one clip at a time, no Spark, no Arrow).
+  A hash match proves the distributed mapInPandas machinery (batching,
+  partitioning, schema adaption) is faithful to the kernels.
+- ``candidates.parquet`` / ``containment.parquet`` — a from-scratch
+  plain-Python re-implementation of the LSH bucket/cap/channel logic
+  (dicts + loops, no DataFrames), sharing only the frozen signature
+  kernels.  A hash match checks the explode/self-join/cap/collision-count
+  machinery of :mod:`quichash_spark.operators.lsh` against a second,
+  structurally different implementation.
+- ``doc_simhash.parquet`` / ``doc_winnow.parquet`` — per-document frozen
+  kernel values over the REAL testdata table, so DuckDB can express the
+  pairing logic (bit_count(xor) radius / fingerprint-overlap join) itself.
+
+All fixtures are pure functions of (frozen config, fixture generator
+version, corpus size), written atomically and cached under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+from quichash_spark.config import CLIPS_CONFIG, DOCS_CONFIG, DedupConfig
+from quichash_spark.fixtures import FIXTURE_VERSION
+from quichash_spark.fixtures.clips import clip_row
+from quichash_spark.functions import audio, hashing
+
+#: bump when any sequential-replica logic here changes
+ORACLE_FIXTURE_VERSION = 1
+
+ROOT = os.environ.get("QH_ORACLE_FIXTURE_DIR", "/tmp/quichash_oracle_fixture")
+
+#: the driver compares Spark vs DuckDB at sf0.01 => n=500 clips
+#: (entry_queries._clips_n contract)
+DRIVER_N_CLIPS = 500
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# sequential replicas (plain Python — deliberately NOT the Spark code path)
+# ---------------------------------------------------------------------------
+
+
+def sequential_signature_rows(n: int, cfg: DedupConfig = CLIPS_CONFIG) -> list[dict]:
+    """One clip at a time through the frozen kernels (driver-side)."""
+    a_params, b_params = hashing.minhash_params(cfg)
+    rows: list[dict] = []
+    for i in range(n):
+        r = clip_row(i)
+        t = r["transcript"]
+        canon = " ".join(t.split()) if isinstance(t, str) else ""
+        pcm = audio.decode_pcm(r["bytes"], r["codec"])
+        ok = pcm is not None
+        if ok:
+            chash = hashing.content_hash(pcm, canon)
+            phash = hashing.content_hash(pcm, "")
+            words = audio.pcm_frame_bits(pcm, cfg)
+            mh_pcm = hashing.minhash_signature(
+                audio.shingles_from_words(words, cfg), a_params, b_params
+            )
+            n_frames = int(words.size)
+            n_samples = int(pcm.size)
+        else:
+            chash = None
+            phash = None
+            mh_pcm = np.full(cfg.num_perm, hashing.EMPTY_SLOT, np.uint64)
+            n_frames = 0
+            n_samples = 0
+        mh_text = hashing.minhash_signature(
+            hashing.shingle_hashes(canon, cfg.k_shingle), a_params, b_params
+        )
+        rows.append(
+            {
+                "clip_id": r["clip_id"],
+                "content_hash": chash,
+                "pcm_hash": phash,
+                "simhash": hashing.simhash64_i64(canon),
+                "n_frames": n_frames,
+                "n_samples": n_samples,
+                "transcript": canon,
+                "decode_ok": ok,
+                "mh_text": mh_text,
+                "mh_pcm": mh_pcm,
+            }
+        )
+    return rows
+
+
+def sequential_candidates(
+    rows: list[dict], cfg: DedupConfig = CLIPS_CONFIG, use_pcm: bool = True
+) -> pd.DataFrame:
+    """Dict-and-loop replica of operators.lsh.unified_candidates."""
+    nb = cfg.bands
+    n_channels = nb * (2 if use_pcm else 1)
+    buckets: dict[tuple[int, int], list[str]] = defaultdict(list)
+    sim: dict[str, int] = {}
+    for r in rows:
+        cid = r["clip_id"]
+        sim[cid] = int(r["simhash"])
+        bk_text = hashing.band_hashes(r["mh_text"], nb, cfg.rows)
+        for b in range(nb):
+            buckets[(b, int(bk_text[b]))].append(cid)
+        if use_pcm:
+            bk_pcm = hashing.band_hashes(r["mh_pcm"], nb, cfg.rows)
+            for b in range(nb):
+                buckets[(nb + b, int(bk_pcm[b]))].append(cid)
+        for ci, cv in enumerate(
+            hashing.simhash_chunks_i64(int(r["simhash"]), cfg.simhash_chunks)
+        ):
+            buckets[(n_channels + ci, int(cv))].append(cid)
+
+    agg: dict[tuple[str, str], tuple[set, int]] = {}
+    for (bidx, _key), members in buckets.items():
+        m = len(members)
+        if m <= 1 or m > cfg.band_bucket_cap:
+            continue
+        channel = (
+            "lsh_text" if bidx < nb else ("lsh_pcm" if bidx < n_channels else "simhash")
+        )
+        ms = sorted(members)
+        for x in range(m):
+            for y in range(x + 1, m):
+                a, b = ms[x], ms[y]
+                if channel == "simhash" and (
+                    hashing.hamming64(sim[a], sim[b]) > cfg.simhash_hamming_r
+                ):
+                    continue
+                e = agg.setdefault((a, b), (set(), 0))
+                e[0].add(channel)
+                if channel == "lsh_pcm":
+                    agg[(a, b)] = (e[0], e[1] + 1)
+
+    out = []
+    for (a, b), (channels, pcm_hits) in agg.items():
+        source = ",".join(sorted(channels))
+        if source == "lsh_pcm" and pcm_hits < cfg.min_pcm_band_hits:
+            continue
+        out.append({"clip_a": a, "clip_b": b, "source": source})
+    return pd.DataFrame(out, columns=["clip_a", "clip_b", "source"])
+
+
+def sequential_containment(
+    rows: list[dict], cfg: DedupConfig = CLIPS_CONFIG
+) -> pd.DataFrame:
+    """Replica of operators.containment.containment_candidates: text-channel
+    kept buckets (grouped by exact signature slices — collision-free variant
+    of the JVM band keys), distinct-transcript containment per bucket, then
+    expansion over ALL clips sharing the matched transcripts."""
+    # clip-level text-band buckets, keyed by the exact signature slice
+    buckets: dict[tuple[int, tuple], list[int]] = defaultdict(list)
+    for ridx, r in enumerate(rows):
+        sig = r["mh_text"]
+        for b in range(cfg.bands):
+            key = tuple(int(v) for v in sig[b * cfg.rows : (b + 1) * cfg.rows])
+            buckets[(b, key)].append(ridx)
+
+    by_text: dict[str, list[str]] = defaultdict(list)
+    for r in rows:
+        by_text[r["transcript"]].append(r["clip_id"])
+
+    text_pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        m = len(members)
+        if m <= 1 or m > cfg.band_bucket_cap:
+            continue
+        distinct = sorted({rows[i]["transcript"] for i in members})
+        for ti in distinct:
+            if not ti:
+                continue
+            pad = f" {ti} "
+            for tj in distinct:
+                if ti != tj and f" {tj} ".find(pad) >= 0:
+                    text_pairs.add((ti, tj))
+
+    pairs: set[tuple[str, str]] = set()
+    for ts, tb in text_pairs:
+        for cs in by_text[ts]:
+            for cb in by_text[tb]:
+                if cs != cb:
+                    pairs.add((min(cs, cb), max(cs, cb)))
+    out = [{"clip_a": a, "clip_b": b, "source": "containment"} for a, b in sorted(pairs)]
+    return pd.DataFrame(out, columns=["clip_a", "clip_b", "source"])
+
+
+# ---------------------------------------------------------------------------
+# fixture materialization (atomic, versioned, cached)
+# ---------------------------------------------------------------------------
+
+
+def _atomic_build(target: str, build) -> str:
+    """Build fixture files in a temp dir, rename into place (idempotent)."""
+    if os.path.isdir(target) and os.path.exists(os.path.join(target, "_OK")):
+        return target
+    os.makedirs(ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(target) + ".", dir=ROOT)
+    build(tmp)
+    with open(os.path.join(tmp, "_OK"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        # lost the race to a concurrent builder — theirs is equivalent
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
+def clips_fixture_dir(n: int, cfg: DedupConfig = CLIPS_CONFIG) -> str:
+    return os.path.join(
+        ROOT, f"clips_k{cfg.kernel_version}_f{FIXTURE_VERSION}_o{ORACLE_FIXTURE_VERSION}_n{n}"
+    )
+
+
+def ensure_clips_fixture(n: int = DRIVER_N_CLIPS, cfg: DedupConfig = CLIPS_CONFIG) -> str:
+    """Materialize signatures/candidates/containment/clusters parquet."""
+    target = clips_fixture_dir(n, cfg)
+
+    def build(tmp: str) -> None:
+        rows = sequential_signature_rows(n, cfg)
+        sig = pd.DataFrame(
+            [
+                {k: r[k] for k in (
+                    "clip_id", "content_hash", "pcm_hash", "simhash",
+                    "n_frames", "n_samples", "transcript", "decode_ok",
+                )}
+                for r in rows
+            ]
+        )
+        sig["simhash"] = sig["simhash"].astype("int64")
+        sig["n_frames"] = sig["n_frames"].astype("int32")
+        sig["n_samples"] = sig["n_samples"].astype("int32")
+        sig.to_parquet(os.path.join(tmp, "signatures.parquet"), index=False)
+
+        sequential_candidates(rows, cfg).to_parquet(
+            os.path.join(tmp, "candidates.parquet"), index=False
+        )
+        sequential_containment(rows, cfg).to_parquet(
+            os.path.join(tmp, "containment.parquet"), index=False
+        )
+
+        from quichash_spark.oracle.numpy_oracle import oracle_clusters
+
+        assign = oracle_clusters(n, cfg)
+        pd.DataFrame(
+            {"clip_id": list(assign.keys()), "cluster_id": list(assign.values())}
+        ).to_parquet(os.path.join(tmp, "clusters.parquet"), index=False)
+
+    return _atomic_build(target, build)
+
+
+def docs_fixture_dir(sf_dir: str = DRIVER_SF_DIR) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(ROOT, f"docs_o{ORACLE_FIXTURE_VERSION}_{tag}")
+
+
+def ensure_docs_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
+    """Per-document frozen-kernel values (simhash, winnow fingerprints) over
+    the real documents table, computed sequentially driver-side."""
+    target = docs_fixture_dir(sf_dir)
+
+    def build(tmp: str) -> None:
+        from quichash_spark.functions.winnow import winnow
+
+        docs = pd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        sims, fp_doc, fp_val = [], [], []
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            canon = " ".join(text.split()) if isinstance(text, str) else ""
+            sims.append(hashing.simhash64_i64(canon))
+            for v in winnow(text if isinstance(text, str) else ""):
+                fp_doc.append(int(doc_id))
+                fp_val.append(int(v))
+        pd.DataFrame(
+            {"doc_id": docs["doc_id"].astype("int64"), "simhash": pd.array(sims, dtype="int64")}
+        ).to_parquet(os.path.join(tmp, "doc_simhash.parquet"), index=False)
+        pd.DataFrame(
+            {"doc_id": pd.array(fp_doc, dtype="int64"), "fp": pd.array(fp_val, dtype="int64")}
+        ).to_parquet(os.path.join(tmp, "doc_winnow.parquet"), index=False)
+
+    return _atomic_build(target, build)

@@ -40,10 +40,14 @@ def stream_exact_dedup(
     stream = spark.readStream.schema(schema).parquet(source_dir)
     sigs = compute_signatures(stream, cfg).filter(F.col("decode_ok"))
     if watermark:
+        # dropDuplicatesWithinWatermark keys state on content_hash ALONE and
+        # uses the watermark only to expire state — duplicates arriving in
+        # different micro-batches still collapse (dropDuplicates keyed on
+        # [hash, processing-ts] would NOT dedup across batches)
         sigs = sigs.withColumn("ingest_ts", F.current_timestamp()).withWatermark(
             "ingest_ts", watermark
         )
-        deduped = sigs.dropDuplicates(["content_hash", "ingest_ts"])
+        deduped = sigs.dropDuplicatesWithinWatermark(["content_hash"])
     else:
         deduped = sigs.dropDuplicates(["content_hash"])
     name = "qh_sdedup_" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]

@@ -132,6 +132,38 @@ def test_containment_finds_planted(signatures):
     assert _planted("containment") <= got
 
 
+def test_containment_hot_bucket_mid_slice():
+    """Adversarial hot bucket (> FULL_MATRIX_LIMIT distinct texts): the
+    Aho-Corasick path must find mid-slice containment ("A inside the middle
+    of B"), which the round-1 prefix scan missed by design."""
+    import pandas as pd
+
+    from quichash_spark.operators.containment import FULL_MATRIX_LIMIT, _bucket_pairs
+
+    texts = [f"zz filler {i} xx" for i in range(FULL_MATRIX_LIMIT + 10)]
+    texts.append("needle tokens here")
+    texts.append("big head needle tokens here big tail")  # mid-slice
+    texts.append("needle tokens here and a suffix")       # prefix-slice
+    pdf = pd.DataFrame({"transcript": texts, "thash": list(range(len(texts)))})
+    out = _bucket_pairs(pdf)
+    got = set(zip(out["thash_small"], out["thash_big"]))
+    needle = len(texts) - 3
+    assert (needle, needle + 1) in got  # mid-slice found
+    assert (needle, needle + 2) in got  # prefix-slice still found
+    # and agrees exactly with the brute-force matrix
+    brute = {
+        (i, j)
+        for i, ti in enumerate(texts)
+        for j, tj in enumerate(texts)
+        if i != j and ti and ti != tj and f" {tj} ".find(f" {ti} ") >= 0
+    }
+    # map brute index pairs through the sorted-dedup order _bucket_pairs uses
+    order = sorted(set(zip(texts, range(len(texts)))))
+    remap = {t: h for t, h in order}
+    brute_h = {(remap[texts[i]], remap[texts[j]]) for i, j in brute}
+    assert got == brute_h
+
+
 def test_verify_matrix(spark, tiny_clips, signatures):
     """Classification-matrix test mirroring the reference's verify tests
     (/root/reference/src/verify.rs:467-616): accept exact/near/containment,
