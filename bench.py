@@ -120,6 +120,13 @@ def main() -> None:
 
     # --- headline queries at local[cpus] ---
     spark = get_spark(f"local[{cpus}]", shuffle_partitions=cpus, app_name="bench_queries")
+    # warmup OUTSIDE the timed region: session/JIT/codegen spin-up plus a
+    # full scan of every input table (count() only reads parquet footers;
+    # the per-query numbers must not absorb cold-disk or first-query cost)
+    t_warm = time.monotonic()
+    for name in HEADLINE_QUERIES:
+        QUERIES[name](spark, sf_dir).count()
+    print(f"# warmup pass: {time.monotonic() - t_warm:.1f}s", file=sys.stderr)
     query_secs: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         t0 = time.monotonic()

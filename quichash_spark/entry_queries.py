@@ -169,6 +169,32 @@ def q_fast_mode_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fast_mode_md5(F.col("text")).alias("fast_md5"))
 
 
+def q_hashignore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P4 (gitignore-semantics .hashignore filter,
+    /root/reference/src/ignore_handler.rs:27-82): per-path ignore decisions
+    over deterministic synthetic paths, exercising basename globs, negation,
+    dir-only patterns, root anchoring and globstar in one rule set."""
+    from quichash_spark.operators.hashignore import ignored_col, parse_hashignore
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    d = F.col("doc_id").cast("string")
+    path = (
+        F.when(m == 0, F.concat(F.lit("logs/doc_"), d, F.lit(".log")))
+        .when(m == 1, F.concat(F.lit("keep_"), d, F.lit(".log")))
+        .when(m == 2, F.lit("tmp"))
+        .when(m == 3, F.concat(F.lit("top_secret_"), d))
+        .when(m == 4, F.concat(F.lit("data/x"), d, F.lit("/cache")))
+        .otherwise(F.concat(F.lit("src/doc_"), d, F.lit(".txt")))
+    )
+    rules = parse_hashignore("*.log\n!keep*.log\ntmp/\n/top_secret*\ndata/**/cache\n")
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        ignored_col(rules, path, m == 2).alias("ignored"),
+    )
+
+
 def _markers_sql(lang: str) -> str:
     alt = "|".join(T.LANG_MARKERS[lang])
     return f"len(regexp_extract_all(text, '\\b({alt})\\b'))"
@@ -456,6 +482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "multi_hash": q_multi_hash,
     "fast_mode_hash": q_fast_mode_hash,
+    "hashignore_filter": q_hashignore_filter,
     "verify_classification": q_verify_classification,
     "compare_dbs": q_compare_dbs,
     "moved_detection": q_moved_detection,
@@ -558,6 +585,18 @@ ORACLE_SQL: dict[str, str] = {
                              || substr(text, ((length(text) - 100) // 2) + 1, 100)
                              || substr(text, length(text) - 99, 100))
                     else md5(text) end as fast_md5
+        from documents
+    """,
+    "hashignore_filter": """
+        select doc_id,
+          case doc_id % 6
+            when 0 then 'logs/doc_' || doc_id || '.log'
+            when 1 then 'keep_' || doc_id || '.log'
+            when 2 then 'tmp'
+            when 3 then 'top_secret_' || doc_id
+            when 4 then 'data/x' || doc_id || '/cache'
+            else 'src/doc_' || doc_id || '.txt' end as path,
+          (doc_id % 6) in (0, 2, 3, 4) as ignored
         from documents
     """,
     "verify_classification": """

@@ -4,10 +4,12 @@
 
 Dispatch policy (SURVEY.md §2.7): algorithms with JVM built-ins stay in
 whole-stage codegen (`F.md5`, `F.sha1`, `F.sha2`, `F.xxhash64`, `F.crc32`);
-the rest (SHA3 family, BLAKE2) run as Arrow-vectorized pandas UDFs over
-Python's hashlib — never per-row Python UDFs.  BLAKE3/xxh128 have no
-hashlib kernel in this environment and are registered as stubs, exactly
-like the audio codec stubs.
+the rest run as Arrow-vectorized pandas UDFs — never per-row Python UDFs.
+SHA3/BLAKE2 use Python's hashlib; BLAKE3 and XXH3/XXH128 (no wheel in this
+environment) use the spec-implemented pure-Python kernels in
+:mod:`quichash_spark.functions.blake3_pure` / ``xxh3_pure`` — validated
+against the published test vectors (see those modules' docstrings); swap
+in wheel-backed kernels on a cluster that has them.
 """
 
 from __future__ import annotations
@@ -20,6 +22,9 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
+
+from quichash_spark.functions.blake3_pure import blake3_hex
+from quichash_spark.functions.xxh3_pure import xxh3_64_hex, xxh3_128_hex
 
 
 def _jvm(fn: Callable[[Column], Column]) -> Callable[[Column], Column]:
@@ -38,15 +43,18 @@ def _hashlib_udf(algo: str) -> Callable[[Column], Column]:
     return lambda col: _h(col)
 
 
-def _stub(name: str) -> Callable[[Column], Column]:
-    def _raise(_: Column) -> Column:
-        raise NotImplementedError(
-            f"{name}: no kernel in this environment; install the wheel and "
-            "register a pandas_udf in HASH_REGISTRY (mirrors quichash's "
-            "pluggable Hasher trait, src/hash.rs:12-21)"
+def _pure_udf(fn: Callable[[bytes], str]) -> Callable[[Column], Column]:
+    """Arrow-batched wrapper for the pure-Python spec kernels."""
+
+    @F.pandas_udf(StringType())
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: fn(v if isinstance(v, bytes) else str(v).encode("utf-8"))
+            if v is not None
+            else None
         )
 
-    return _raise
+    return lambda col: _h(col)
 
 
 #: algorithm name -> (Column -> hex-string Column).  JVM-native entries
@@ -68,9 +76,13 @@ HASH_REGISTRY: dict[str, Callable[[Column], Column]] = {
     "sha3-512": _hashlib_udf("sha3_512"),
     "blake2b": _hashlib_udf("blake2b"),
     "blake2s": _hashlib_udf("blake2s"),
-    # stubs (no kernel available here)
-    "blake3": _stub("blake3"),
-    "xxh128": _stub("xxh128"),
+    # spec-implemented pure-Python kernels (see module docstrings for the
+    # published-vector validation status); the reference's default dedup
+    # algorithm is blake3 (src/dedup.rs:279-282), xxh3/xxh128 mirror its
+    # xxhash-rust wrappers (src/hash.rs:276-338)
+    "blake3": _pure_udf(blake3_hex),
+    "xxh3": _pure_udf(xxh3_64_hex),
+    "xxh128": _pure_udf(xxh3_128_hex),
 }
 
 

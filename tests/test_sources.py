@@ -46,7 +46,64 @@ def test_standard_malformed_lines_tolerated(spark, tmp_path):
     assert len(invalid) == 2  # surfaced, not silently dropped
 
 
-def test_hashdeep_roundtrip_and_inference(spark, tmp_path):
+#: byte-literal fixture exactly as the reference writer emits it
+#: (src/database.rs:146-171: write_hashdeep_header + write_hashdeep_entry)
+REFERENCE_HASHDEEP = (
+    "%%%% HASHDEEP-1.0\n"
+    "%%%% size,md5,sha256,filename\n"
+    "## Invoked from: hash utility\n"
+    "## $ hash scan --format hashdeep\n"
+    "##\n"
+    f"1024,{'a' * 32},{'b' * 64},/data/x.bin\n"
+    f"2048,{'c' * 32},{'d' * 64},/данные/файл.bin\n"
+)
+
+
+def test_read_reference_hashdeep_file(spark, tmp_path):
+    """A DB written by the actual reference binary must load: banner and
+    ## comments skipped, algorithms taken from the banner, last comma
+    field as filename (src/database.rs:334-401)."""
+    p = tmp_path / "ref.hashdeep"
+    p.write_text(REFERENCE_HASHDEEP)
+    back = hashdb.read_hashdeep(spark, str(p))
+    rows = {(r["path"], r["algorithm"]): r for r in back.collect()}
+    assert len(rows) == 4  # 2 files x 2 algorithms
+    assert rows[("/data/x.bin", "md5")]["hash"] == "a" * 32
+    assert rows[("/data/x.bin", "sha256")]["hash"] == "b" * 64
+    assert rows[("/данные/файл.bin", "md5")]["file_size"] == 2048
+    assert all(r["valid"] for r in rows.values())
+    assert hashdb.sniff_format(spark, str(p)) == "hashdeep"
+
+
+def test_hashdeep_headerless_inference(spark, tmp_path):
+    """No banner => algorithm inferred from hash length
+    (src/database.rs:404-414)."""
+    p = tmp_path / "bare.csv"
+    p.write_text(f"10,{'e' * 32},/m\n20,{'f' * 40},/s\n")
+    rows = {r["path"]: r for r in hashdb.read_hashdeep(spark, str(p)).collect()}
+    assert rows["/m"]["algorithm"] == "md5"
+    assert rows["/s"]["algorithm"] == "sha1"
+
+
+def test_hashdeep_single_file_roundtrip(spark, tmp_path):
+    """write_hashdeep_file output is byte-identical to the reference
+    writer's format and round-trips through read_hashdeep."""
+    df = spark.createDataFrame(
+        [
+            Row(md5="a" * 32, sha256="b" * 64, file_size=1024, path="/data/x.bin"),
+            Row(md5="c" * 32, sha256="d" * 64, file_size=2048, path="/данные/файл.bin"),
+        ]
+    )
+    out = str(tmp_path / "mine.hashdeep")
+    hashdb.write_hashdeep_file(
+        df, out, algorithms=["md5", "sha256"], hash_cols=["md5", "sha256"]
+    )
+    assert open(out, encoding="utf-8").read() == REFERENCE_HASHDEEP
+    back = hashdb.read_hashdeep(spark, out)
+    assert back.count() == 4
+
+
+def test_hashdeep_distributed_sink_roundtrip(spark, tmp_path):
     path = str(tmp_path / "db_hashdeep")
     df = spark.createDataFrame(
         [
@@ -54,12 +111,33 @@ def test_hashdeep_roundtrip_and_inference(spark, tmp_path):
             Row(hash="e" * 64, file_size=2048, path="/b"),
         ]
     )
-    hashdb.write_hashdeep(df, path, algorithm="sha256")
-    back = hashdb.read_hashdeep(spark, path)
+    hashdb.write_hashdeep(df, path, algorithms=["sha256"])
+    back = hashdb.read_hashdeep(spark, path + "/part-*")
     rows = {r["path"]: r for r in back.collect()}
     assert rows["/a"]["file_size"] == 1024
-    assert rows["/a"]["algorithm_from_header"] == "sha256"
-    assert rows["/a"]["algorithm_inferred"] == "sha256"  # from length 64
+    # header is a sidecar part, not in the data glob; length inference used
+    assert rows["/a"]["algorithm"] == "sha256"
+
+
+def test_xz_transparent_read_and_compress(spark, tmp_path):
+    """.xz databases written like the reference's compress_database
+    (src/database.rs:45-78) load transparently in both formats."""
+    plain = tmp_path / "db.txt"
+    plain.write_text(
+        f"{'a' * 64}  sha256  normal  /x\n{'b' * 32}  md5  fast  /y\n"
+    )
+    xz = hashdb.compress_database(str(plain), delete_src=True)
+    assert xz.endswith(".xz") and not plain.exists()
+    back = hashdb.read_standard(spark, xz)
+    rows = {r["path"]: r for r in back.collect()}
+    assert rows["/y"]["fast_mode"] is True and rows["/x"]["hash"] == "a" * 64
+    assert hashdb.sniff_format(spark, xz) == "standard"
+
+    hd = tmp_path / "ref.hashdeep"
+    hd.write_text(REFERENCE_HASHDEEP)
+    hd_xz = hashdb.compress_database(str(hd))
+    assert hashdb.read_hashdeep(spark, hd_xz).count() == 4
+    assert hashdb.sniff_format(spark, hd_xz) == "hashdeep"
 
 
 def test_compressed_sink(spark, tmp_path):
