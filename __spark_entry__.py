@@ -71,4 +71,14 @@ def oracle_sql() -> dict[str, str]:
     except Exception:  # noqa: BLE001
         for k in DOCS_FIXTURE_KEYS:
             out.pop(k, None)
+    try:
+        from quichash_spark.entry_queries import ANN_FIXTURE_KEYS
+        from quichash_spark.oracle.fixture import ensure_ann_fixture
+
+        ensure_ann_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import ANN_FIXTURE_KEYS
+
+        for k in ANN_FIXTURE_KEYS:
+            out.pop(k, None)
     return out

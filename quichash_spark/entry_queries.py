@@ -514,12 +514,14 @@ _STOPWORD_ALT = "|".join(T.STOPWORDS)
 # reads them.  The clip-count is pinned to the driver's sf0.01 contract.
 from quichash_spark.oracle.fixture import (  # noqa: E402
     DRIVER_N_CLIPS,
+    ann_fixture_dir,
     clips_fixture_dir,
     docs_fixture_dir,
 )
 
 _CLIPS_FIX = clips_fixture_dir(DRIVER_N_CLIPS)
 _DOCS_FIX = docs_fixture_dir()
+_ANN_FIX = ann_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -531,6 +533,7 @@ CLIPS_FIXTURE_KEYS = (
     "clips_containment",
 )
 DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
+ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf")
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -771,6 +774,16 @@ ORACLE_SQL: dict[str, str] = {
         join read_parquet('{_DOCS_FIX}/doc_simhash.parquet') b
           on a.doc_id < b.doc_id
         where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # --- fixture-backed oracles for the seed-frozen ANN queries (expected
+    # rows from sequential numpy replicas of the same frozen plan) ---
+    "sim_ann_lsh": f"""
+        select query_id, neighbor_id, rank, cosine
+        from read_parquet('{_ANN_FIX}/ann_lsh.parquet')
+    """,
+    "sim_ivf": f"""
+        select query_id, neighbor_id, rank, cosine
+        from read_parquet('{_ANN_FIX}/ivf.parquet')
     """,
     "doc_winnow_pairs": f"""
         with kept as (

@@ -269,6 +269,168 @@ def ensure_clips_fixture(n: int = DRIVER_N_CLIPS, cfg: DedupConfig = CLIPS_CONFI
     return _atomic_build(target, build)
 
 
+def _fold_dot(a, b) -> float:
+    """Left-fold dot product, matching Spark's aggregate() evaluation
+    order exactly (operators/similarity._dot) for bit-equality."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _round_half_up6(x: float) -> float:
+    """Spark F.round semantics on doubles: BigDecimal.valueOf (shortest
+    round-trip decimal) then HALF_UP at scale 6."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _topk_rows(cands: dict[int, set[int]], vecs: dict[int, list], k: int) -> pd.DataFrame:
+    out = []
+    for qid in sorted(cands):
+        scored = []
+        for nid in cands[qid]:
+            c = _fold_dot(vecs[qid], vecs[nid]) / (
+                _fold_norm(vecs[qid]) * _fold_norm(vecs[nid])
+            )
+            scored.append((nid, c))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, c) in enumerate(scored[:k], start=1):
+            out.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": nid,
+                    "rank": rank,
+                    "cosine": _round_half_up6(c),
+                }
+            )
+    df = pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "cosine"])
+    df["query_id"] = df["query_id"].astype("int64")
+    df["neighbor_id"] = df["neighbor_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int32")
+    return df
+
+
+def sequential_ann_lsh(
+    vec_ids: list[int],
+    mat: "np.ndarray",
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    seed: int = 7,
+    n_queries: int = 10,
+) -> pd.DataFrame:
+    """Replica of operators.similarity.ann_lsh_topk at the entry-query
+    config: same seed-frozen hyperplanes, bucket membership, candidate
+    union across tables, exact cosine rerank."""
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    flat = planes.reshape(n_tables * n_planes, -1)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    signs = (mat @ flat.T) > 0
+    bits = signs.reshape(len(mat), n_tables, n_planes) @ weights  # (n, T)
+
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for ridx, row in enumerate(bits):
+        for t in range(n_tables):
+            buckets[(t, int(row[t]))].append(ridx)
+    q_rows = [i for i, v in enumerate(vec_ids) if v < n_queries]
+    cands: dict[int, set[int]] = {vec_ids[i]: set() for i in q_rows}
+    member_of = {i: [(t, int(bits[i][t])) for t in range(n_tables)] for i in q_rows}
+    for i in q_rows:
+        for key in member_of[i]:
+            for j in buckets[key]:
+                if j != i:
+                    cands[vec_ids[i]].add(vec_ids[j])
+    vecs = {vec_ids[i]: mat[i] for i in range(len(vec_ids))}
+    return _topk_rows(cands, vecs, k)
+
+
+def sequential_ivf(
+    vec_ids: list[int],
+    mat: "np.ndarray",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    n_queries: int = 10,
+) -> pd.DataFrame:
+    """Replica of operators.similarity.ivf_topk at the entry-query config.
+    The driver-side kmeans is identical by construction (same numpy ops on
+    the same sample, in parquet file order == Spark's limit order for the
+    single-file testdata tables)."""
+    sample = mat.copy()
+    rng = np.random.default_rng(seed)
+    centroids = sample[
+        rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    ]
+    for _ in range(kmeans_iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(centroids.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    by_cell: dict[int, list[int]] = defaultdict(list)
+    for ridx, c in enumerate(cell):
+        by_cell[int(c)].append(ridx)
+    q_rows = [i for i, v in enumerate(vec_ids) if v < n_queries]
+    cands: dict[int, set[int]] = {vec_ids[i]: set() for i in q_rows}
+    for i in q_rows:
+        probes = np.argsort(d2[i])[:n_probe]
+        for c in probes:
+            for j in by_cell[int(c)]:
+                if j != i:
+                    cands[vec_ids[i]].add(vec_ids[j])
+    vecs = {vec_ids[i]: mat[i] for i in range(len(vec_ids))}
+    return _topk_rows(cands, vecs, k)
+
+
+def ann_fixture_dir(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return os.path.join(
+        ROOT, f"ann_o{ORACLE_FIXTURE_VERSION}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+def ensure_ann_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
+    """Expected ann_lsh / ivf top-k rows over the real embeddings table."""
+    target = ann_fixture_dir(sf_dir)
+
+    def build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        vec_ids = [int(v) for v in t.column("vec_id").to_pylist()]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+        )
+        sequential_ann_lsh(vec_ids, mat).to_parquet(
+            os.path.join(tmp, "ann_lsh.parquet"), index=False
+        )
+        sequential_ivf(vec_ids, mat).to_parquet(
+            os.path.join(tmp, "ivf.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)
+
+
 def docs_fixture_dir(sf_dir: str = DRIVER_SF_DIR) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(ROOT, f"docs_o{ORACLE_FIXTURE_VERSION}_{tag}")
