@@ -63,7 +63,7 @@ class DedupConfig:
 
     # --- kernel code version: bump when any signature kernel changes so
     # checkpoint config-hashes (and therefore resume) invalidate ---
-    kernel_version: int = 6
+    kernel_version: int = 7
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:

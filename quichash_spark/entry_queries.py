@@ -169,6 +169,25 @@ def q_fast_mode_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fast_mode_md5(F.col("text")).alias("fast_md5"))
 
 
+def q_decontaminate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination hits: every 50th document plays the part
+    of an eval benchmark; any training doc sharing an 8-token verbatim
+    shingle with one is flagged (broadcast eval join — see
+    operators/decontaminate.py for the 10^12-row shape)."""
+    from quichash_spark.operators.decontaminate import contamination_hits
+
+    docs = _read(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return contamination_hits(docs, evals, k=8).select(
+        "doc_id",
+        "eval_id",
+        "shared_shingles",
+        F.col("eval_shingles").cast("long").alias("eval_shingles"),
+    )
+
+
 def q_hashignore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference P4 (gitignore-semantics .hashignore filter,
     /root/reference/src/ignore_handler.rs:27-82): per-path ignore decisions
@@ -483,6 +502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_hash": q_multi_hash,
     "fast_mode_hash": q_fast_mode_hash,
     "hashignore_filter": q_hashignore_filter,
+    "decontaminate_hits": q_decontaminate_hits,
     "verify_classification": q_verify_classification,
     "compare_dbs": q_compare_dbs,
     "moved_detection": q_moved_detection,
@@ -589,6 +609,32 @@ ORACLE_SQL: dict[str, str] = {
                              || substr(text, length(text) - 99, 100))
                     else md5(text) end as fast_md5
         from documents
+    """,
+    "decontaminate_hits": """
+        with toks as (
+          select doc_id, regexp_split_to_array(trim(text), '\\s+') as w from documents
+        ), sh as (
+          select doc_id,
+                 case when len(w) < 8 then list_distinct([array_to_string(w, ' ')])
+                      else list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                          w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                                          w[i+6] || ' ' || w[i+7]
+                                          for i in range(1, len(w) - 6)])
+                 end as shingles
+          from toks
+        ), ev as (
+          select doc_id as eval_id, unnest(shingles) as s
+          from sh where doc_id % 50 = 0
+        ), evs as (
+          select eval_id, count(*) as eval_shingles from ev group by 1
+        ), tr as (
+          select doc_id, unnest(shingles) as s from sh
+        )
+        select tr.doc_id, ev.eval_id,
+               count(*)::BIGINT as shared_shingles,
+               any_value(evs.eval_shingles)::BIGINT as eval_shingles
+        from tr join ev using (s) join evs using (eval_id)
+        group by tr.doc_id, ev.eval_id
     """,
     "hashignore_filter": """
         select doc_id,

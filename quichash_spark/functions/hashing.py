@@ -15,6 +15,7 @@ identical signatures (required for local[8] == local[32] equivalence).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -48,7 +49,11 @@ def hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def hash64_str(s: str) -> int:
+    """Memoized: tokens and shingles repeat heavily on dup-rich corpora,
+    and the cache is worker-resident across Arrow batches (pure function,
+    so reuse is semantically invisible)."""
     return hash64(s.encode("utf-8"))
 
 
@@ -71,12 +76,10 @@ def shingle_hashes(transcript: str, k: int) -> np.ndarray:
     if not toks:
         return np.empty(0, dtype=np.uint64)
     if len(toks) < k:
-        shingles = [" ".join(toks)]
+        uniq = {" ".join(toks)}
     else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.fromiter(
-        (hash64_str(s) for s in set(shingles)), dtype=np.uint64, count=len(set(shingles))
-    )
+        uniq = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    out = np.fromiter((hash64_str(s) for s in uniq), dtype=np.uint64, count=len(uniq))
     out.sort()
     return out
 
@@ -110,6 +113,44 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     with np.errstate(over="ignore"):
         m = a[:, None] * hashes[None, :] + b[:, None]
     return m.min(axis=1)
+
+
+def minhash_signature_batch(
+    hash_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_rows, num_perm) uint64 — one call for a whole Arrow batch.
+
+    Identical per row to :func:`minhash_signature` (the min over a row's
+    hash segment is batching-invariant): one big multiply-add over the
+    concatenated hash arrays, then ``np.minimum.reduceat`` over segment
+    boundaries.  Empty rows get the EMPTY_SLOT sentinel signature.
+    """
+    n = len(hash_arrays)
+    out = np.full((n, a.shape[0]), EMPTY_SLOT, dtype=np.uint64)
+    lens = np.fromiter((h.size for h in hash_arrays), dtype=np.int64, count=n)
+    nz = np.nonzero(lens)[0]
+    if nz.size == 0:
+        return out
+    concat = np.concatenate([hash_arrays[i] for i in nz])
+    with np.errstate(over="ignore"):
+        m = a[:, None] * concat[None, :] + b[:, None]  # (num_perm, total)
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    out[nz] = np.minimum.reduceat(m, starts, axis=1).T
+    return out
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_rows, bands) int64 — vectorized :func:`band_hashes` over a batch
+    of signatures (n_rows, num_perm); identical per row."""
+    v = sigs.reshape(sigs.shape[0], bands, rows)
+    acc = np.full((sigs.shape[0], bands), _U64(0x243F6A8885A308D3), dtype=np.uint64)
+    mix = _U64(MIX64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc ^ v[:, :, r]) * mix
+            acc ^= acc >> _U64(29)
+    return acc.view(np.int64)
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
@@ -154,10 +195,8 @@ def simhash64_i64(transcript: str) -> int:
     w = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)
     votes = ((bits.astype(np.int64) * 2 - 1) * w[:, None]).sum(axis=0)
-    u = 0
-    for i in range(64):
-        if votes[i] > 0:
-            u |= 1 << i
+    # disjoint bit powers sum exactly in uint64 (no Python bit loop)
+    u = int(((_U64(1) << np.arange(64, dtype=np.uint64))[votes > 0]).sum(dtype=np.uint64))
     return _to_i64(u)
 
 
@@ -188,7 +227,9 @@ __all__ = [
     "shingle_hashes",
     "minhash_params",
     "minhash_signature",
+    "minhash_signature_batch",
     "band_hashes",
+    "band_hashes_batch",
     "minhash_jaccard",
     "simhash64_i64",
     "hamming64",

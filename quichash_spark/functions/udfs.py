@@ -64,54 +64,59 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out: dict[str, list] = {f.name: [] for f in SIGNATURE_SCHEMA.fields}
-            for clip_id, data, codec, transcript in zip(
-                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["transcript"]
+            # batched execution, output-identical to the row-at-a-time
+            # kernels (tests assert equality): decode per row (variable
+            # length), ONE concatenated FFT pass for the whole batch, ONE
+            # multiply-reduceat per MinHash channel, ONE band-key fold.
+            canons: list[str] = []
+            pcms: list[np.ndarray | None] = []
+            for data, codec, transcript in zip(
+                pdf["bytes"], pdf["codec"], pdf["transcript"]
             ):
-                transcript = transcript if isinstance(transcript, str) else ""
-                canon = " ".join(transcript.split())
-                pcm = audio.decode_pcm(data, codec)
-                ok = pcm is not None
-                if ok:
-                    chash = hashing.content_hash(pcm, canon)
+                canons.append(
+                    " ".join(transcript.split()) if isinstance(transcript, str) else ""
+                )
+                pcms.append(audio.decode_pcm(data, codec))
+            words_list = audio.pcm_frame_bits_batch(pcms, cfg)
+            text_sets = [hashing.shingle_hashes(c, cfg.k_shingle) for c in canons]
+            pcm_sets = [
+                audio.shingles_from_words(w, cfg)
+                if p is not None
+                else np.empty(0, dtype=np.uint64)
+                for p, w in zip(pcms, words_list)
+            ]
+            mh_text = hashing.minhash_signature_batch(text_sets, a_params, b_params)
+            mh_pcm = hashing.minhash_signature_batch(pcm_sets, a_params, b_params)
+            # band keys precomputed here (vectorized numpy) so the LSH
+            # stage is a pure explode+shuffle — no per-row JVM hashing
+            # re-evaluated on every plan branch
+            bk_text = hashing.band_hashes_batch(mh_text, cfg.bands, cfg.rows)
+            bk_pcm = hashing.band_hashes_batch(mh_pcm, cfg.bands, cfg.rows)
+            ok = [p is not None for p in pcms]
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "content_hash": [
+                        hashing.content_hash(p, c) if p is not None else None
+                        for p, c in zip(pcms, canons)
+                    ],
                     # pcm-only digest: lets verification decide
                     # identical-audio pairs without ever re-reading bytes
-                    phash = hashing.content_hash(pcm, "")
-                    words = audio.pcm_frame_bits(pcm, cfg)  # one FFT pass
-                    mh_pcm = hashing.minhash_signature(
-                        audio.shingles_from_words(words, cfg), a_params, b_params
-                    )
-                    n_frames = int(words.size)
-                    n_samples = int(pcm.size)
-                else:
-                    chash = None
-                    phash = None
-                    mh_pcm = np.full(cfg.num_perm, hashing.EMPTY_SLOT, np.uint64)
-                    n_frames = 0
-                    n_samples = 0
-                mh_text = hashing.minhash_signature(
-                    hashing.shingle_hashes(canon, cfg.k_shingle), a_params, b_params
-                )
-                out["clip_id"].append(clip_id)
-                out["content_hash"].append(chash)
-                out["pcm_hash"].append(phash)
-                out["minhash_text"].append(mh_text.view(np.int64))
-                out["minhash_pcm"].append(mh_pcm.view(np.int64))
-                # band keys precomputed here (vectorized numpy) so the
-                # LSH stage is a pure explode+shuffle — no per-row JVM
-                # hashing re-evaluated on every plan branch
-                out["band_keys_text"].append(
-                    hashing.band_hashes(mh_text, cfg.bands, cfg.rows)
-                )
-                out["band_keys_pcm"].append(
-                    hashing.band_hashes(mh_pcm, cfg.bands, cfg.rows)
-                )
-                out["simhash"].append(hashing.simhash64_i64(canon))
-                out["n_frames"].append(n_frames)
-                out["n_samples"].append(n_samples)
-                out["transcript"].append(canon)
-                out["decode_ok"].append(ok)
-            yield pd.DataFrame(out)
+                    "pcm_hash": [
+                        hashing.content_hash(p, "") if p is not None else None
+                        for p in pcms
+                    ],
+                    "minhash_text": list(mh_text.view(np.int64)),
+                    "minhash_pcm": list(mh_pcm.view(np.int64)),
+                    "band_keys_text": list(bk_text),
+                    "band_keys_pcm": list(bk_pcm),
+                    "simhash": [hashing.simhash64_i64(c) for c in canons],
+                    "n_frames": [int(w.size) for w in words_list],
+                    "n_samples": [int(p.size) if p is not None else 0 for p in pcms],
+                    "transcript": canons,
+                    "decode_ok": ok,
+                }
+            )
 
     cols = ["clip_id", "bytes", "codec", "transcript"]
     # few fat Python tasks: each Arrow-exchange task pays ~150ms of fixed

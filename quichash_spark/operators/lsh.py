@@ -173,15 +173,19 @@ def unified_candidates(
     """
     nb = cfg.bands
     n_channels = nb * (2 if use_pcm else 1)
-    # persisted: referenced by the sizes aggregate and BOTH self-join
-    # sides — without it the explode re-runs three times
-    buckets = unified_bucket_table(signatures, cfg, use_pcm).persist()
+    # The full bucket table is NOT persisted (caching 68 deserialized
+    # rows/clip measured SLOWER than recomputing the codegen explode over
+    # the page-cached parquet checkpoint); the much smaller KEPT table —
+    # non-trivial, non-capped bucket rows, the input to both self-join
+    # sides — is, which saves the explode+sizes+join pass per join side
+    # (measured 1.4x on the stage at both parallelism levels).
+    buckets = unified_bucket_table(signatures, cfg, use_pcm)
     sizes = buckets.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
     kept_keys = sizes.filter(
         (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.band_bucket_cap)
     ).select("band_idx", "band_key")
     dropped = sizes.filter(F.col("bucket_n") > cfg.band_bucket_cap)
-    kept = buckets.join(kept_keys, ["band_idx", "band_key"])
+    kept = buckets.join(kept_keys, ["band_idx", "band_key"]).persist()
 
     a, b = kept.alias("a"), kept.alias("b")
     channel = (

@@ -131,6 +131,7 @@ def verify_candidates(
     cfg: DedupConfig,
     signatures: DataFrame | None = None,
     broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
+    pairs_per_task: int = 128,
 ) -> DataFrame:
     """candidates(clip_a, clip_b, source) -> verified edges (see module
     docstring for the fast/slow execution split)."""
@@ -232,7 +233,18 @@ def verify_candidates(
             )
         return pd.DataFrame(rows, columns=[f.name for f in VERIFIED_SCHEMA.fields])
 
-    slow = tagged.groupBy("pair_id").applyInPandas(
-        lambda pdf: verify_group(pdf), VERIFIED_SCHEMA
+    # Group by a HASH BUCKET of pair_id, not pair_id itself: one
+    # applyInPandas group per pair means one Arrow exchange + pandas frame
+    # per pair (~1 ms fixed each — dominates with tiny audio pairs).
+    # verify_group already resolves pairs inside a frame via
+    # pdf.groupby(pair_id), so bucketed groups are semantically identical;
+    # pairs_per_task bounds per-task byte volume (2 payloads per pair).
+    n_groups = max(32, min(1 << 14, n_slow // pairs_per_task + 1))
+    slow = (
+        tagged.withColumn(
+            "task_bucket", F.pmod(F.xxhash64("pair_id"), F.lit(n_groups))
+        )
+        .groupBy("task_bucket")
+        .applyInPandas(lambda pdf: verify_group(pdf), VERIFIED_SCHEMA)
     )
     return fast.unionByName(slow)

@@ -78,24 +78,28 @@ class CheckpointStore:
     def write(self, df: DataFrame, stage: str, wall_ms: float | None = None) -> DataFrame:
         """Idempotent overwrite of a stage table; marks the stage complete.
 
-        One read-back job covers BOTH the row count and the per-partition
-        lineage metrics (the metrics rows sum to the count); the tiny
-        metrics table is written driver-side, so checkpointing costs one
-        write job + one aggregate job per stage, no more.
+        Per-partition lineage comes from the written parquet FOOTERS
+        (one part-file per output partition, num_rows read driver-side
+        with pyarrow) — zero extra Spark jobs per stage; Iceberg keeps
+        the read-back aggregate path (its files carry the counts in
+        manifests, but the generic route is one aggregate job).
         """
         t0 = time.monotonic()
         if self.use_iceberg:
             df.writeTo(f"{self.iceberg_namespace}.{stage}").createOrReplace()
+            out = self.read(stage)
+            per_part = (
+                out.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count("*").alias("rows_out"))
+                .collect()
+            )
+            parts = [(r["partition_id"], r["rows_out"]) for r in per_part]
         else:
             df.write.mode("overwrite").parquet(self._table_path(stage))
-        out = self.read(stage)
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
-            .collect()
-        )
-        rows = sum(r["rows_out"] for r in per_part)
-        self._append_metrics_rows(stage, [(r["partition_id"], r["rows_out"]) for r in per_part])
+            out = self.read(stage)
+            parts = self._footer_partition_rows(stage)
+        rows = sum(n for _, n in parts)
+        self._append_metrics_rows(stage, parts)
         manifest = self._read_manifest()
         manifest[stage] = {
             "status": "complete",
@@ -119,6 +123,18 @@ class CheckpointStore:
         p = Path(self._table_path(stage))
         if p.exists():
             shutil.rmtree(p)
+
+    def _footer_partition_rows(self, stage: str) -> list[tuple[int, int]]:
+        """(output_partition_index, rows) per part-file from parquet
+        footers — the sink writes one file per partition, so footer counts
+        ARE the per-partition lineage, at driver-side metadata cost."""
+        import pyarrow.parquet as pq
+
+        parts: list[tuple[int, int]] = []
+        files = sorted(Path(self._table_path(stage)).glob("part-*"))
+        for idx, f in enumerate(files):
+            parts.append((idx, pq.ParquetFile(str(f)).metadata.num_rows))
+        return parts
 
     # -- metrics (per-partition lineage) ------------------------------------
     def _append_metrics_rows(self, stage: str, parts: list[tuple[int, int]]) -> None:

@@ -28,6 +28,7 @@ def stream_exact_dedup(
     checkpoint_dir: str,
     cfg: DedupConfig = CLIPS_CONFIG,
     watermark: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-stream clips -> first occurrence per content hash.
 
@@ -37,7 +38,10 @@ def stream_exact_dedup(
     the source carries an ingest timestamp to bound state.
     """
     schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     sigs = compute_signatures(stream, cfg).filter(F.col("decode_ok"))
     if watermark:
         # dropDuplicatesWithinWatermark keys state on content_hash ALONE and

@@ -135,3 +135,35 @@ def test_pcm_fingerprint_noise_robustness():
     inter = np.intersect1d(a, b).size
     union = np.union1d(a, b).size
     assert inter / union > 0.5  # most frame-shingles survive ~34 dB noise
+
+
+def test_batch_kernels_equal_scalar():
+    """The Arrow-batch kernels must be bit-identical to the row-at-a-time
+    frozen kernels (the oracle runs the scalar path; the Spark UDF runs
+    the batch path — equality here is what keeps them one kernel)."""
+    import numpy as np
+
+    from quichash_spark.config import CLIPS_CONFIG as cfg
+    from quichash_spark.fixtures.clips import clip_row
+    from quichash_spark.functions import audio, hashing
+
+    rows = [clip_row(i) for i in range(60)]
+    pcms = [audio.decode_pcm(r["bytes"], r["codec"]) for r in rows]
+    pcms[7] = None  # failed decode mid-batch
+    pcms[11] = np.empty(0, dtype=np.int16)  # too short for one frame
+
+    batch_words = audio.pcm_frame_bits_batch(pcms, cfg)
+    for p, w in zip(pcms, batch_words):
+        np.testing.assert_array_equal(w, audio.pcm_frame_bits(p, cfg))
+
+    a, b = hashing.minhash_params(cfg)
+    canons = [" ".join(r["transcript"].split()) for r in rows]
+    sets = [hashing.shingle_hashes(c, cfg.k_shingle) for c in canons]
+    sets[3] = np.empty(0, dtype=np.uint64)  # empty shingle set mid-batch
+    batch_sigs = hashing.minhash_signature_batch(sets, a, b)
+    for s, sig in zip(sets, batch_sigs):
+        np.testing.assert_array_equal(sig, hashing.minhash_signature(s, a, b))
+
+    batch_bands = hashing.band_hashes_batch(batch_sigs, cfg.bands, cfg.rows)
+    for sig, bk in zip(batch_sigs, batch_bands):
+        np.testing.assert_array_equal(bk, hashing.band_hashes(sig, cfg.bands, cfg.rows))

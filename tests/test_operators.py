@@ -132,6 +132,39 @@ def test_containment_finds_planted(signatures):
     assert _planted("containment") <= got
 
 
+def test_verify_broadcast_size_guard(spark, tiny_clips, signatures):
+    """Scale guard: past broadcast_pair_limit the verify slow path must
+    not broadcast the membership table (10^12-row corpora can exceed the
+    8 GB broadcast hard limit) — with Spark's auto-broadcast disabled the
+    whole plan falls back to shuffle joins, and results are identical on
+    both paths."""
+    from quichash_spark.operators.verify import verify_candidates
+    from quichash_spark.plans.inspect import explain_str
+
+    pairs = sorted(_planted("audio_near")) + sorted(_planted("containment"))
+    cands = spark.createDataFrame(
+        [Row(clip_a=a, clip_b=b, source="lsh_text") for a, b in pairs]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = verify_candidates(
+            cands, tiny_clips, CLIPS_CONFIG, signatures=signatures,
+            broadcast_pair_limit=0,
+        )
+        assert "BroadcastHashJoin" not in explain_str(guarded)
+        hinted = verify_candidates(
+            cands, tiny_clips, CLIPS_CONFIG, signatures=signatures,
+            broadcast_pair_limit=1 << 40,
+        )
+        assert "BroadcastHashJoin" in explain_str(hinted)
+        ga = sorted(map(tuple, guarded.collect()))
+        gb = sorted(map(tuple, hinted.collect()))
+        assert ga == gb and len(ga) == len(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_containment_hot_bucket_mid_slice():
     """Adversarial hot bucket (> FULL_MATRIX_LIMIT distinct texts): the
     Aho-Corasick path must find mid-slice containment ("A inside the middle
@@ -236,3 +269,32 @@ def test_connected_components_long_chain(spark):
     rows = assign.collect()
     assert len(rows) == n
     assert {r["cluster_id"] for r in rows} == {"n00000"}
+
+
+def test_connected_components_local_finish_equals_distributed(spark):
+    """Two-level CC: the single-task union-find tail must produce exactly
+    the distributed star-rounds assignment (same min-member labeling) on
+    a mixed graph of chains, stars, triangles and singleton-free noise."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    for c in range(30):  # chains of varying length
+        ln = rng.randint(2, 12)
+        base = c * 100
+        edges += [(f"v{base+i:06d}", f"v{base+i+1:06d}") for i in range(ln)]
+    for s in range(10):  # stars + a triangle closing edge
+        hub = f"h{s:04d}"
+        edges += [(hub, f"h{s:04d}_{k}") for k in range(5)]
+        edges.append((f"h{s:04d}_0", f"h{s:04d}_1"))
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "clip_a string, clip_b string")
+    local = {
+        r["clip_id"]: r["cluster_id"]
+        for r in connected_components(df, local_finish_threshold=10**9).collect()
+    }
+    dist = {
+        r["clip_id"]: r["cluster_id"]
+        for r in connected_components(df, local_finish_threshold=0).collect()
+    }
+    assert local == dist and len(local) > 200

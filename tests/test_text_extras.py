@@ -101,6 +101,35 @@ def test_stream_exact_dedup_matches_batch(spark, tiny_clips, tmp_path):
     shutil.rmtree(src, ignore_errors=True)
 
 
+def test_stream_dedup_watermark_collapses_across_batches(spark, tiny_clips, tmp_path):
+    """With a watermark, state is keyed on content_hash ALONE
+    (dropDuplicatesWithinWatermark): a duplicate arriving in a later
+    micro-batch must still collapse.  maxFilesPerTrigger=1 forces each
+    file into its own micro-batch."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.streaming.dedup import stream_exact_dedup
+
+    src = tmp_path / "clips_wm"
+    first = tiny_clips.limit(40)
+    # same 40 clips written twice => identical hashes in separate files
+    first.coalesce(1).write.mode("overwrite").parquet(str(src))
+    first.coalesce(1).write.mode("append").parquet(str(src))
+    got = stream_exact_dedup(
+        spark, str(src), str(tmp_path / "ckpt_wm"), watermark="10 minutes",
+        max_files_per_trigger=1,
+    )
+    expected = (
+        compute_signatures(first, CLIPS_CONFIG)
+        .filter("decode_ok")
+        .select("content_hash")
+        .distinct()
+        .count()
+    )
+    assert got.select("content_hash").distinct().count() == expected
+    assert got.count() == expected  # cross-batch duplicates collapsed
+
+
 def test_glob_source(spark, tiny_clips, tmp_path):
     """Reference S6 (wildcard expansion, src/wildcard.rs:23-69): path
     globs resolve at the reader."""
@@ -108,3 +137,34 @@ def test_glob_source(spark, tiny_clips, tmp_path):
         tiny_clips.limit(10).write.mode("overwrite").parquet(str(tmp_path / f"dir_{part}"))
     df = spark.read.parquet(str(tmp_path / "dir_*"))
     assert df.count() == 20
+
+
+def test_decontaminate_removes_planted_overlap(spark):
+    """Planted contamination: a training doc embedding an 8-token slice of
+    an eval question is flagged and dropped; clean docs survive."""
+    from pyspark.sql import Row
+
+    from quichash_spark.operators.decontaminate import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    bench_q = "what is the capital of the republic of kazakhstan today"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro words " + bench_q + " trailing words"),
+            Row(doc_id=2, text="totally unrelated content about cooking rice gently " * 3),
+            Row(doc_id=3, text=bench_q),  # verbatim copy
+            Row(doc_id=4, text="capital of the republic"),  # only 4 shared tokens < k
+        ]
+    )
+    evals = spark.createDataFrame([Row(eval_id=100, text=bench_q)])
+    hits = contamination_hits(train, evals, k=8)
+    flagged = {r["doc_id"] for r in hits.collect()}
+    assert flagged == {1, 3}
+    clean = decontaminate(train, evals, k=8)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
+    # the eval side must be the broadcast build side (10^12-row train)
+    from quichash_spark.plans.inspect import explain_str
+
+    assert "BroadcastHashJoin" in explain_str(hits)
