@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "events_windowed",
     "verify_classification",
     "moved_detection",
+    "decontaminate_hits",
 ]
 
 
@@ -50,7 +51,7 @@ def _fresh_dir(tag: str) -> str:
 
 
 def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
-                        trials: int = 3) -> dict:
+                        min_trials: int = 3, max_trials: int = 5) -> dict:
     """Fresh session, fresh checkpoints per trial; best-of-N wall time
     plus per-stage minima across trials.
 
@@ -61,6 +62,11 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
     best WALL still usually contains one stalled stage — per-stage minima
     (``stage_min``, stages are independently checkpointed units) estimate
     the stall-free run.  Both are reported unmodified.
+
+    Trials are adaptive: after ``min_trials``, keep going (to
+    ``max_trials``) only while the latest trial still improved the
+    stage-min sum by >2% — i.e. while the stall lottery is still visibly
+    contaminating the estimate.
     """
     from quichash_spark.fixtures import materialized_clips
     from quichash_spark.pipeline import run_pipeline
@@ -68,7 +74,8 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
 
     best = None
     stage_min: dict[str, float] = {}
-    for _ in range(trials):
+    for trial in range(max_trials):
+        prev_sum = sum(stage_min.values()) if stage_min else float("inf")
         # FRESH session per trial: the sandbox's Arrow-channel stalls are
         # per-session (a session either starts healthy or doesn't), so
         # best-of within one session cannot escape a bad one
@@ -107,6 +114,9 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
         finally:
             spark.stop()
             shutil.rmtree("/tmp/quichash_bench", ignore_errors=True)
+        new_sum = sum(stage_min.values())
+        if trial + 1 >= min_trials and new_sum > prev_sum * 0.98:
+            break
     best["stage_min"] = {k: round(v, 3) for k, v in stage_min.items()}
     best["stage_min_sum_sec"] = round(sum(stage_min.values()), 2)
     return best
@@ -175,9 +185,10 @@ def main() -> None:
             "local8_4N": r4n,
             "efficiency_n_to_4n": efficiency,
             "efficiency_wall_best_of": efficiency_wall,
-            "method": "per-stage minima over 3 fresh-session trials per "
-                      "level (stall-lottery filter, see BENCH/BASELINE.md); "
-                      "wall-based best-of ratio reported alongside",
+            "method": "per-stage minima over 3-5 adaptive fresh-session "
+                      "trials per level (stall-lottery filter, see "
+                      "BENCH/BASELINE.md); wall-based best-of ratio "
+                      "reported alongside",
             "target": 0.8,
         },
     }

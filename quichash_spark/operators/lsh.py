@@ -164,56 +164,144 @@ def unified_bucket_table(
 
 
 def unified_candidates(
-    signatures: DataFrame, cfg: DedupConfig, use_pcm: bool = True
+    signatures: DataFrame, cfg: DedupConfig, use_pcm: bool = True,
+    strategy: str = "join",
 ) -> tuple[DataFrame, DataFrame]:
     """All candidate channels in one shuffle plan.
 
     Returns (pairs(clip_a, clip_b, source), dropped buckets).  ``source``
     is the comma-joined sorted set of channels that produced the pair.
+
+    Three physical strategies produce identical pairs (test-asserted):
+
+    - ``"window"``: one window count partitioned by bucket key does
+      size-count + cap-filter in a single exchange of the bucket table,
+      and the member-list groupBy reuses that partitioning; pairs expand
+      via a codegen higher-order expression.  Fewest shuffles.
+    - ``"join"``: sizes aggregate, kept-keys join, then the classic band
+      self-join (AQE-skew-splittable).
+    - ``"agg"``: sizes + kept-join like ``"join"``, then member lists +
+      codegen expansion instead of the self-join.
+
+    In every strategy the cap filter runs BEFORE any collect_list, so a
+    hot bucket is never buffered into an array at 10^12-row scale, and
+    per-bucket pair arrays are bounded by cap^2/2 transient structs.
     """
     nb = cfg.bands
     n_channels = nb * (2 if use_pcm else 1)
     # The full bucket table is NOT persisted (caching 68 deserialized
     # rows/clip measured SLOWER than recomputing the codegen explode over
-    # the page-cached parquet checkpoint); the much smaller KEPT table —
-    # non-trivial, non-capped bucket rows, the input to both self-join
-    # sides — is, which saves the explode+sizes+join pass per join side
-    # (measured 1.4x on the stage at both parallelism levels).
+    # the page-cached parquet checkpoint).  The >1-member bucket SUMMARY
+    # is: it is tiny (proportional to true-dup buckets), and both
+    # children — kept_keys (pair generation) and dropped (skew metrics) —
+    # read it, so the 13.6M-row sizes shuffle runs once instead of twice
+    # (the dropped-metrics job used to re-run the whole explode+agg).
     buckets = unified_bucket_table(signatures, cfg, use_pcm)
-    sizes = buckets.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
-    kept_keys = sizes.filter(
-        (F.col("bucket_n") > 1) & (F.col("bucket_n") <= cfg.band_bucket_cap)
-    ).select("band_idx", "band_key")
-    dropped = sizes.filter(F.col("bucket_n") > cfg.band_bucket_cap)
-    kept = buckets.join(kept_keys, ["band_idx", "band_key"]).persist()
 
-    a, b = kept.alias("a"), kept.alias("b")
-    channel = (
-        F.when(F.col("a.band_idx") < nb, F.lit("lsh_text"))
-        .when(F.col("a.band_idx") < n_channels, F.lit("lsh_pcm") if use_pcm else F.lit("simhash"))
-        .otherwise(F.lit("simhash"))
+    if strategy == "window":
+        # ONE exchange total for size-count + cap-filter + member lists:
+        # the window count partitions by bucket key, the >1 filter drops
+        # the (overwhelming) size-1 majority, and the member-list groupBy
+        # REUSES the window's partitioning (no second shuffle of the
+        # bucket table).  Hot buckets pass through as rows (bounded: they
+        # are filtered before any array is built) and surface in
+        # ``dropped`` off the same persisted summary.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        summary = (
+            buckets.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") > 1)
+            .persist()
+        )
+        dropped = (
+            summary.filter(F.col("bucket_n") > cfg.band_bucket_cap)
+            .groupBy("band_idx", "band_key")
+            .agg(F.first("bucket_n").alias("bucket_n"))
+        )
+        members = (
+            summary.filter(F.col("bucket_n") <= cfg.band_bucket_cap)
+            .groupBy("band_idx", "band_key")
+            .agg(F.sort_array(F.collect_list(F.struct("clip_id", "simhash"))).alias("ms"))
+        )
+        raw = _expand_bucket_pairs(members)
+        return _pairs_from_raw(raw, cfg, nb, n_channels, use_pcm), dropped
+
+    sizes = buckets.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
+    summary = sizes.filter(F.col("bucket_n") > 1).persist()
+    kept_keys = summary.filter(F.col("bucket_n") <= cfg.band_bucket_cap).select(
+        "band_idx", "band_key"
     )
-    pairs = (
-        a.join(
+    dropped = summary.filter(F.col("bucket_n") > cfg.band_bucket_cap)
+
+    if strategy == "agg":
+        members = (
+            buckets.join(kept_keys, ["band_idx", "band_key"])
+            .groupBy("band_idx", "band_key")
+            .agg(F.sort_array(F.collect_list(F.struct("clip_id", "simhash"))).alias("ms"))
+        )
+        raw = _expand_bucket_pairs(members)
+    else:
+        kept = buckets.join(kept_keys, ["band_idx", "band_key"]).persist()
+        a, b = kept.alias("a"), kept.alias("b")
+        raw = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.clip_id") < F.col("b.clip_id")),
+        ).select(
+            F.col("a.band_idx").alias("band_idx"),
+            F.col("a.clip_id").alias("clip_a"),
+            F.col("b.clip_id").alias("clip_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
+
+    return _pairs_from_raw(raw, cfg, nb, n_channels, use_pcm), dropped
+
+
+def _expand_bucket_pairs(members: DataFrame) -> DataFrame:
+    """i<j pair expansion of per-bucket member lists, whole-stage codegen:
+    struct sort orders by clip_id (first field), so a=ms[i], b=ms[j>i]
+    gives clip_a<clip_b."""
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return members.select("band_idx", F.explode(pair_arr).alias("p")).select(
+        "band_idx",
+        F.col("p.a.clip_id").alias("clip_a"),
+        F.col("p.b.clip_id").alias("clip_b"),
+        F.col("p.a.simhash").alias("sh_a"),
+        F.col("p.b.simhash").alias("sh_b"),
+    )
+
+
+def _pairs_from_raw(
+    raw: DataFrame, cfg: DedupConfig, nb: int, n_channels: int, use_pcm: bool
+) -> DataFrame:
+    channel = (
+        F.when(F.col("band_idx") < nb, F.lit("lsh_text"))
+        .when(F.col("band_idx") < n_channels, F.lit("lsh_pcm") if use_pcm else F.lit("simhash"))
+        .otherwise(F.lit("simhash"))
+    )
+    return (
+        raw
         # SimHash chunk buckets are 16-bit random collisions; only pairs
         # within the Hamming ball are candidates (matches simhash_probe)
         .filter(
-            (F.col("a.band_idx") < n_channels)
+            (F.col("band_idx") < n_channels)
             | (
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
                 <= cfg.simhash_hamming_r
             )
         )
-        .select(
-            F.col("a.clip_id").alias("clip_a"),
-            F.col("b.clip_id").alias("clip_b"),
-            channel.alias("channel"),
-        )
+        .select("clip_a", "clip_b", channel.alias("channel"))
         .groupBy("clip_a", "clip_b")
         .agg(
             F.concat_ws(",", F.sort_array(F.collect_set("channel"))).alias("source"),
@@ -230,4 +318,3 @@ def unified_candidates(
         )
         .drop("pcm_hits")
     )
-    return pairs, dropped

@@ -131,7 +131,7 @@ def verify_candidates(
     cfg: DedupConfig,
     signatures: DataFrame | None = None,
     broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
-    pairs_per_task: int = 128,
+    task_mb: int = 32,
 ) -> DataFrame:
     """candidates(clip_a, clip_b, source) -> verified edges (see module
     docstring for the fast/slow execution split)."""
@@ -209,37 +209,75 @@ def verify_candidates(
     tagged = payload.join(membership, "clip_id")
 
     def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for pair_id, g in pdf.groupby("pair_id", sort=False):
-            first = g.iloc[0]
-            sides = {r.side: r for r in g.itertuples(index=False)}
-            a, b = sides.get("a"), sides.get("b")
-            if a is None or b is None:
+        # Per-pair work is ~0.2 ms, so per-pair PANDAS work must stay well
+        # under that: pdf.groupby(pair_id) iteration constructs a frame
+        # per 2-row group (~0.8 ms each — measured 4x the actual kernel).
+        # Instead sort once and walk pair boundaries over plain numpy
+        # object arrays.
+        import numpy as np
+
+        order = np.argsort(pdf["pair_id"].to_numpy(), kind="stable")
+        pid = pdf["pair_id"].to_numpy()[order]
+        side = pdf["side"].to_numpy()[order]
+        cols = {
+            c: pdf[c].to_numpy()[order]
+            for c in ("clip_a", "clip_b", "source", "bytes", "codec", "transcript")
+        }
+        out: dict[str, list] = {f.name: [] for f in VERIFIED_SCHEMA.fields}
+        n = len(pid)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and pid[j] == pid[i]:
+                j += 1
+            ia = ib = -1
+            for k in range(i, j):
+                if side[k] == "a":
+                    ia = k
+                elif side[k] == "b":
+                    ib = k
+            if ia < 0 or ib < 0:
                 v = {
                     "snr_db": float("-inf"), "transcript_equal": False,
                     "containment": False, "hamming": 64, "accepted": False,
                 }
             else:
                 v = verify_pair(
-                    audio.decode_pcm(a.bytes, a.codec),
-                    audio.decode_pcm(b.bytes, b.codec),
-                    a.transcript,
-                    b.transcript,
+                    audio.decode_pcm(cols["bytes"][ia], cols["codec"][ia]),
+                    audio.decode_pcm(cols["bytes"][ib], cols["codec"][ib]),
+                    cols["transcript"][ia],
+                    cols["transcript"][ib],
                     cfg,
                 )
-            rows.append(
-                {"clip_a": first["clip_a"], "clip_b": first["clip_b"],
-                 "source": first["source"], **v}
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in VERIFIED_SCHEMA.fields])
+            out["clip_a"].append(cols["clip_a"][i])
+            out["clip_b"].append(cols["clip_b"][i])
+            out["source"].append(cols["source"][i])
+            for k2, v2 in v.items():
+                out[k2].append(v2)
+            i = j
+        return pd.DataFrame(out, columns=[f.name for f in VERIFIED_SCHEMA.fields])
 
     # Group by a HASH BUCKET of pair_id, not pair_id itself: one
     # applyInPandas group per pair means one Arrow exchange + pandas frame
     # per pair (~1 ms fixed each — dominates with tiny audio pairs).
     # verify_group already resolves pairs inside a frame via
-    # pdf.groupby(pair_id), so bucketed groups are semantically identical;
-    # pairs_per_task bounds per-task byte volume (2 payloads per pair).
-    n_groups = max(32, min(1 << 14, n_slow // pairs_per_task + 1))
+    # pdf.groupby(pair_id), so bucketed groups are semantically identical.
+    #
+    # The group COUNT is a byte budget, not a pair count: each group
+    # becomes ONE pandas frame of 2 payload rows per pair, so bytes/task —
+    # estimated from the input's own sr_hz*dur_ms metadata (a cheap
+    # 2-int-column scan) — is what bounds peak task memory.  A fixed
+    # pairs-per-task breaks at scale: 128 pairs of 1 MB clips is 256 MB a
+    # frame, while 128 pairs of 16 KB clips wastes task granularity.  The
+    # floor keeps every core busy on tiny inputs (interleaved A/B at
+    # n=200k showed 4 MB vs 32 MB budgets within noise of each other, so
+    # the budget is a memory bound, not a throughput dial).
+    avg_bytes = (
+        clips.agg(F.avg(F.col("sr_hz") * F.col("dur_ms") / 500.0)).first()[0] or 16384.0
+    )
+    par = candidates.sparkSession.sparkContext.defaultParallelism
+    by_budget = int(n_slow * 2 * avg_bytes) // (task_mb << 20) + 1
+    n_groups = max(2 * par, min(n_slow + 1, by_budget))
     slow = (
         tagged.withColumn(
             "task_bucket", F.pmod(F.xxhash64("pair_id"), F.lit(n_groups))

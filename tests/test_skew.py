@@ -45,3 +45,22 @@ def test_unified_candidates_drops_hot_and_reports(spark, tiny_clips):
     }
     got = {(r["clip_a"], r["clip_b"]) for r in pairs.collect()}
     assert not {(a, b) for a in ok_ids for b in ok_ids if a < b} & got
+
+
+def test_unified_candidates_strategies_agree(spark, tiny_clips):
+    """The one-shuffle agg expansion must produce byte-identical pairs,
+    sources, and pcm-hit filtering to the reference band self-join."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.lsh import unified_candidates
+
+    sigs = compute_signatures(tiny_clips, CLIPS_CONFIG).cache()
+    results = {}
+    drops = {}
+    for s in ("window", "join", "agg"):
+        pairs, dropped = unified_candidates(sigs, CLIPS_CONFIG, strategy=s)
+        results[s] = {tuple(r) for r in pairs.collect()}
+        drops[s] = {(r["band_idx"], r["band_key"], r["bucket_n"]) for r in dropped.collect()}
+    assert results["window"] == results["join"] == results["agg"]
+    assert results["join"]
+    assert drops["window"] == drops["join"] == drops["agg"]
