@@ -69,7 +69,12 @@ def decode_pcm(data: bytes | None, codec: str) -> np.ndarray | None:
     if dec is None:
         return None
     try:
-        return dec(bytes(data))
+        # bytes and memoryview both satisfy the buffer protocol frombuffer
+        # needs; memoryview (the Arrow zero-copy path) must NOT be copied
+        # through bytes() — that copy was the whole per-row decode cost
+        if not isinstance(data, (bytes, memoryview)):
+            data = bytes(data)
+        return dec(data)
     except NotImplementedError:
         raise
     except Exception:

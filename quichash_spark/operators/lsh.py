@@ -31,7 +31,18 @@ def band_table(signatures: DataFrame, cfg: DedupConfig, column: str = "minhash_t
 
     band_key = xxhash64(slice(sig), band_idx): equal signature slices give
     equal keys; xxhash64 is deterministic across partitions/executors.
+
+    Slim signatures (pipeline checkpoints, ``include_minhash=False``)
+    carry the precomputed ``band_keys_*`` columns instead of the raw
+    MinHash vectors; exploding those gives the IDENTICAL bucketing (equal
+    signature slices collide under either key function, and buckets are
+    keyed, never ordered).
     """
+    key_col = column.replace("minhash_", "band_keys_")
+    if column not in signatures.columns and key_col in signatures.columns:
+        return signatures.select(
+            "clip_id", F.posexplode(key_col).alias("band_idx", "band_key")
+        )
     bands = F.array(
         *[
             F.xxhash64(F.slice(F.col(column), b * cfg.rows + 1, cfg.rows), F.lit(b))

@@ -24,13 +24,11 @@ Scale design — bytes are the enemy:
    broadcast semi-join (bytes never enter an exchange un-pruned), each
    payload row is tagged with its pair memberships, and ONE groupBy(pair)
    brings both members' bytes together for the SNR kernel
-   (applyInPandas).  Bounded: candidate volume is capped upstream by the
-   LSH bucket caps, so pairs << corpus.
+   (applyInArrow, zero-copy payload access).  Bounded: candidate volume
+   is capped upstream by the LSH bucket caps, so pairs << corpus.
 """
 
 from __future__ import annotations
-
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -208,23 +206,44 @@ def verify_candidates(
     )
     tagged = payload.join(membership, "clip_id")
 
-    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Per-pair work is ~0.2 ms, so per-pair PANDAS work must stay well
-        # under that: pdf.groupby(pair_id) iteration constructs a frame
-        # per 2-row group (~0.8 ms each — measured 4x the actual kernel).
-        # Instead sort once and walk pair boundaries over plain numpy
-        # object arrays.
+    def verify_group(tbl: "pa.Table") -> "pa.Table":
+        # Per-pair work is ~0.2 ms, so per-pair FRAMEWORK work must stay
+        # well under that.  Two measured sinks are avoided here: (a)
+        # pandas groupby(pair_id) iteration (one frame per 2-row group,
+        # ~0.8 ms each — 4x the actual kernel), replaced by one sort +
+        # boundary walk; (b) pandas conversion of the payload column
+        # (every audio blob copied into a Python bytes object), replaced
+        # by applyInArrow + zero-copy memoryviews off the Arrow buffer.
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        order = np.argsort(pdf["pair_id"].to_numpy(), kind="stable")
-        pid = pdf["pair_id"].to_numpy()[order]
-        side = pdf["side"].to_numpy()[order]
-        cols = {
-            c: pdf[c].to_numpy()[order]
-            for c in ("clip_a", "clip_b", "source", "bytes", "codec", "transcript")
-        }
+        tbl = tbl.combine_chunks()
+        tbl = tbl.take(pc.sort_indices(tbl.column("pair_id")))
+        n = tbl.num_rows
+        pid = tbl.column("pair_id").to_pylist()
+        side = tbl.column("side").to_pylist()
+        clip_a = tbl.column("clip_a").to_pylist()
+        clip_b = tbl.column("clip_b").to_pylist()
+        source = tbl.column("source").to_pylist()
+        codec = tbl.column("codec").to_pylist()
+        transcript = tbl.column("transcript").to_pylist()
+        bys = tbl.column("bytes").combine_chunks()
+        off = bys.offset
+        bufs = bys.buffers()
+        odt = np.int64 if pa.types.is_large_binary(bys.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt, count=off + n + 1)[off:]
+        data_mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        isnull = (
+            bys.is_null().to_numpy(zero_copy_only=False) if bys.null_count else None
+        )
+
+        def blob(k: int):
+            if isnull is not None and isnull[k]:
+                return None
+            return data_mv[offs[k]: offs[k + 1]]
+
         out: dict[str, list] = {f.name: [] for f in VERIFIED_SCHEMA.fields}
-        n = len(pid)
         i = 0
         while i < n:
             j = i + 1
@@ -243,19 +262,30 @@ def verify_candidates(
                 }
             else:
                 v = verify_pair(
-                    audio.decode_pcm(cols["bytes"][ia], cols["codec"][ia]),
-                    audio.decode_pcm(cols["bytes"][ib], cols["codec"][ib]),
-                    cols["transcript"][ia],
-                    cols["transcript"][ib],
+                    audio.decode_pcm(blob(ia), codec[ia]),
+                    audio.decode_pcm(blob(ib), codec[ib]),
+                    transcript[ia],
+                    transcript[ib],
                     cfg,
                 )
-            out["clip_a"].append(cols["clip_a"][i])
-            out["clip_b"].append(cols["clip_b"][i])
-            out["source"].append(cols["source"][i])
+            out["clip_a"].append(clip_a[i])
+            out["clip_b"].append(clip_b[i])
+            out["source"].append(source[i])
             for k2, v2 in v.items():
                 out[k2].append(v2)
             i = j
-        return pd.DataFrame(out, columns=[f.name for f in VERIFIED_SCHEMA.fields])
+        return pa.Table.from_pydict(
+            {
+                "clip_a": out["clip_a"],
+                "clip_b": out["clip_b"],
+                "source": out["source"],
+                "snr_db": pa.array(out["snr_db"], pa.float64()),
+                "transcript_equal": pa.array(out["transcript_equal"], pa.bool_()),
+                "containment": pa.array(out["containment"], pa.bool_()),
+                "hamming": pa.array(out["hamming"], pa.int32()),
+                "accepted": pa.array(out["accepted"], pa.bool_()),
+            }
+        )
 
     # Group by a HASH BUCKET of pair_id, not pair_id itself: one
     # applyInPandas group per pair means one Arrow exchange + pandas frame
@@ -283,6 +313,6 @@ def verify_candidates(
             "task_bucket", F.pmod(F.xxhash64("pair_id"), F.lit(n_groups))
         )
         .groupBy("task_bucket")
-        .applyInPandas(lambda pdf: verify_group(pdf), VERIFIED_SCHEMA)
+        .applyInArrow(lambda tbl: verify_group(tbl), VERIFIED_SCHEMA)
     )
     return fast.unionByName(slow)

@@ -63,7 +63,17 @@ def run_pipeline(
     timings: dict[str, float] = {}
     store = CheckpointStore(spark, checkpoint_dir, cfg)
 
-    signatures = _stage(store, "signatures", lambda: compute_signatures(clips, cfg), timings)
+    # include_minhash=False: the dedup stages consume band keys + scalars
+    # only, so the checkpoint (and the Python->JVM exchange) skips the raw
+    # 128-perm MinHash vectors — ~400 MB of incompressible longs per 200k
+    # clips.  Containment's bucket scan reads the precomputed band_keys
+    # columns (identical bucketing, see lsh.band_table).
+    signatures = _stage(
+        store,
+        "signatures",
+        lambda: compute_signatures(clips, cfg, include_minhash=False),
+        timings,
+    )
 
     exact_groups = _stage(
         store, "exact_groups", lambda: exact_duplicate_groups(signatures), timings

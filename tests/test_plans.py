@@ -61,10 +61,12 @@ def test_verify_fast_path_is_jvm_only(spark, tiny_clips):
     cands, _ = unified_candidates(sigs, CLIPS_CONFIG)
     verified = verify_candidates(cands, tiny_clips, CLIPS_CONFIG, signatures=sigs)
     plan = explain_str(verified, mode="simple")
-    # no row-at-a-time Python anywhere; exactly one grouped-pandas node
+    # no row-at-a-time Python anywhere; exactly one grouped-Arrow node
     # (the slow-path SNR kernel) — the fast-path branch is pure JVM
     assert "BatchEvalPython" not in plan
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert (
+        plan.count("FlatMapGroupsInArrow") + plan.count("FlatMapGroupsInPandas") == 1
+    )
 
 
 def test_scan_agg_stays_in_codegen(spark):

@@ -64,3 +64,22 @@ def test_unified_candidates_strategies_agree(spark, tiny_clips):
     assert results["window"] == results["join"] == results["agg"]
     assert results["join"]
     assert drops["window"] == drops["join"] == drops["agg"]
+
+
+def test_slim_signatures_equivalent_buckets(spark, tiny_clips):
+    """Pipeline checkpoints omit the raw MinHash vectors; bucket-based
+    operators must behave identically off the precomputed band keys."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.containment import containment_candidates
+    from quichash_spark.operators.lsh import unified_candidates
+
+    full = compute_signatures(tiny_clips, CLIPS_CONFIG).cache()
+    slim = compute_signatures(tiny_clips, CLIPS_CONFIG, include_minhash=False).cache()
+    assert "minhash_text" not in slim.columns
+    pf, _ = unified_candidates(full, CLIPS_CONFIG)
+    ps, _ = unified_candidates(slim, CLIPS_CONFIG)
+    assert {tuple(r) for r in pf.collect()} == {tuple(r) for r in ps.collect()}
+    cf = {tuple(r) for r in containment_candidates(full, CLIPS_CONFIG).collect()}
+    cs = {tuple(r) for r in containment_candidates(slim, CLIPS_CONFIG).collect()}
+    assert cf == cs and cf
