@@ -1,0 +1,121 @@
+"""Streaming cluster assignment: a CUSTOM stateful operator via
+``applyInPandasWithState``.
+
+``stream_exact_dedup`` (dedup.py) emits only first occurrences; this
+operator emits EVERY arriving clip with its cluster assignment — the
+incremental analog of the batch pipeline's exact-dedup clustering
+(cluster_id = the group's first-seen clip).  Per-key state holds the
+representative clip_id and a running member count, persisted by
+Structured Streaming's state store across micro-batches, so a duplicate
+arriving hours after its original still joins the original's cluster.
+
+The reference has no streaming surface (SURVEY.md §2.8); this is the
+engine's forward extension, and the state design is the one that holds
+at 10^12 scale: state size is O(distinct content hashes), each entry two
+small scalars, partitioned by the shuffle on content_hash.  For bounded
+state under true infinite streams, pass ``ttl`` (processing-time
+timeout): an expired hash simply re-seeds a new cluster, which is the
+standard recall/state tradeoff — expiries are observable in the output
+(``is_first`` re-fires).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from quichash_spark.config import CLIPS_CONFIG, DedupConfig
+from quichash_spark.functions.udfs import compute_signatures
+
+OUTPUT_SCHEMA = (
+    "clip_id string, content_hash string, cluster_id string, "
+    "member_n long, is_first boolean"
+)
+STATE_SCHEMA = "rep string, n long"
+
+
+def _assign(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # processing-time TTL fired with no new data: drop the entry
+        state.remove()
+        return
+    rep, n = state.get if state.exists else (None, 0)
+    out: dict[str, list] = {
+        "clip_id": [], "content_hash": [], "cluster_id": [],
+        "member_n": [], "is_first": [],
+    }
+    for pdf in pdfs:
+        for cid in pdf["clip_id"]:
+            first = rep is None
+            if first:
+                rep = cid
+            n += 1
+            out["clip_id"].append(cid)
+            out["content_hash"].append(key[0])
+            out["cluster_id"].append(rep)
+            out["member_n"].append(n)
+            out["is_first"].append(first)
+    state.update((rep, n))
+    yield pd.DataFrame(out)
+
+
+def stream_cluster_assign(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig = CLIPS_CONFIG,
+    max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """File-stream clips -> (clip_id, content_hash, cluster_id, ...).
+
+    Bounded test harness (availableNow + memory sink); swap source/sink
+    for the unbounded production run.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    sigs = compute_signatures(stream, cfg, include_minhash=False).filter(
+        F.col("decode_ok")
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def assign_with_ttl(key, pdfs, state):
+        yield from _assign(key, pdfs, state)
+        # after the state.update inside _assign (a timeout can only be
+        # armed on existing state); re-armed every batch the key appears
+        if ttl_ms and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+
+    assigned = (
+        sigs.select("clip_id", "content_hash")
+        .groupBy("content_hash")
+        .applyInPandasWithState(
+            assign_with_ttl, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+        )
+    )
+    name = "qh_scluster_" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -168,3 +168,42 @@ def test_decontaminate_removes_planted_overlap(spark):
     from quichash_spark.plans.inspect import explain_str
 
     assert "BroadcastHashJoin" in explain_str(hits)
+
+
+def test_stream_cluster_assign_stateful(spark, tiny_clips, tmp_path):
+    """applyInPandasWithState custom stateful operator: every arriving
+    clip gets a cluster assignment, and duplicates arriving in a LATER
+    micro-batch join the representative chosen in an earlier one (the
+    per-hash state persists across batches)."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.streaming.cluster import stream_cluster_assign
+
+    src = tmp_path / "clips_cl"
+    first = tiny_clips.limit(40)
+    first.coalesce(1).write.mode("overwrite").parquet(str(src))
+    first.coalesce(1).write.mode("append").parquet(str(src))
+    got = stream_cluster_assign(
+        spark, str(src), str(tmp_path / "ckpt_cl"), max_files_per_trigger=1
+    )
+    rows = got.collect()
+    sigs = (
+        compute_signatures(first, CLIPS_CONFIG)
+        .filter("decode_ok")
+        .select("clip_id", "content_hash")
+        .collect()
+    )
+    hashes = {r["content_hash"] for r in sigs}
+    # every arrival (both copies) got an assignment row
+    assert len(rows) == 2 * len(sigs)
+    reps: dict[str, set] = {}
+    for r in rows:
+        reps.setdefault(r["content_hash"], set()).add(r["cluster_id"])
+    # ONE representative per hash across micro-batches = state worked
+    assert set(reps) == hashes
+    assert all(len(v) == 1 for v in reps.values())
+    # the cluster id is a member of its own cluster
+    ids = {r["clip_id"] for r in rows}
+    assert all(next(iter(v)) in ids for v in reps.values())
+    # is_first fired exactly once per hash
+    assert sum(1 for r in rows if r["is_first"]) == len(hashes)
