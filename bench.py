@@ -53,7 +53,7 @@ def _fresh_dir(tag: str) -> str:
 
 
 def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
-                        min_trials: int = 3, max_trials: int = 5) -> dict:
+                        min_trials: int = 3, max_trials: int = 4) -> dict:
     """Fresh session, fresh checkpoints per trial; best-of-N wall time
     plus per-stage minima across trials.
 
@@ -199,7 +199,7 @@ def main() -> None:
             "efficiency_4_to_8_cores": round(
                 r4n["stage_min_sum_sec"] / (2.0 * r8["stage_min_sum_sec"]), 3
             ),
-            "method": "N=1 core, 4N=4 cores, per-stage minima over 3-5 "
+            "method": "N=1 core, 4N=4 cores, per-stage minima over 3-4 "
                       "adaptive fresh-session trials per level "
                       "(stall-lottery filter); 8-core run reported for "
                       "throughput plus the marginal 4->8 ratio — see "
