@@ -1,0 +1,119 @@
+"""One emulated executor process for the N->4N scaling measurement.
+
+A real multi-executor cluster gives every executor its OWN JVM, its own
+Python worker pool, and its own Arrow channel.  This sandbox is a single
+machine, and one ``local[K]`` JVM funnels all K workers through a single
+shared Python exchange that saturates past ~4 workers (measured
+signature-stage core-seconds 128/194/192 at 1/4/8 in-JVM workers —
+BENCH/BASELINE.md).  This job emulates one executor of a K-executor
+cluster: a ``local[1]`` session running an Arrow-heavy pipeline stage over
+its slice of the corpus.  The coordinator (bench.py) launches 1 or 4 of
+these concurrently on disjoint file slices and takes the max in-process
+wall — legitimate for the signatures stage because it is shuffle-free
+(pure map), and for the verify slow path because its only exchange key is
+``pair_id`` and each process takes a disjoint ``pmod(xxhash64(pair_id))``
+residue class, exactly the rows a hash shuffle would route to executor i.
+
+Barrier protocol (so "concurrent" means actually-overlapping walls):
+after session startup + warmup, touch ``<sync>/ready_<idx>``; poll for
+``<sync>/go`` (created by the coordinator once every worker is ready);
+run the timed region; print one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _barrier(sync_dir: str, idx: int, timeout: float = 300.0) -> None:
+    ready = os.path.join(sync_dir, f"ready_{idx}")
+    go = os.path.join(sync_dir, "go")
+    with open(ready, "w") as f:
+        f.write(str(os.getpid()))
+    t0 = time.monotonic()
+    while not os.path.exists(go):
+        if time.monotonic() - t0 > timeout:
+            raise TimeoutError(f"worker {idx}: no go signal after {timeout}s")
+        time.sleep(0.05)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["sign", "verify"], default="sign")
+    ap.add_argument("--inputs", required=True,
+                    help="comma-separated parquet dirs (this worker's corpus slice)")
+    ap.add_argument("--output", required=True, help="parquet output dir")
+    ap.add_argument("--sync-dir", required=True)
+    ap.add_argument("--idx", type=int, required=True)
+    ap.add_argument("--n-procs", type=int, default=1,
+                    help="verify mode: total residue classes of pair_id")
+    ap.add_argument("--candidates", help="verify mode: candidates checkpoint dir")
+    ap.add_argument("--signatures", help="verify mode: signatures checkpoint dir")
+    ap.add_argument("--n-candidates", type=int, default=None,
+                    help="verify mode: known candidate row count (skip the count job)")
+    args = ap.parse_args()
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import clips_dataframe
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.session import get_spark
+
+    spark = get_spark("local[1]", shuffle_partitions=2,
+                      app_name=f"emu_exec_{args.mode}_{args.idx}")
+    inputs = args.inputs.split(",")
+
+    # warmup OUTSIDE the timed region: JVM JIT, codegen, Python worker
+    # spin-up — a real cluster's executors are long-lived and warm too
+    warm = compute_signatures(clips_dataframe(spark, 100, partitions=1),
+                              CLIPS_CONFIG, include_minhash=False)
+    warm.write.mode("overwrite").parquet(os.path.join(args.sync_dir, f"warm_{args.idx}"))
+
+    if args.mode == "sign":
+        _barrier(args.sync_dir, args.idx)
+        t0 = time.monotonic()
+        clips = spark.read.parquet(*inputs)
+        sigs = compute_signatures(clips, CLIPS_CONFIG, include_minhash=False)
+        sigs.write.mode("overwrite").parquet(args.output)
+        wall = time.monotonic() - t0
+    else:
+        from pyspark.sql import functions as F
+
+        from quichash_spark.operators.verify import verify_candidates
+
+        candidates = spark.read.parquet(args.candidates)
+        signatures = spark.read.parquet(args.signatures)
+        # executor i of n: the residue class of pairs a hash shuffle on
+        # pair_id would route to it; include the (pure-JVM) fast path only
+        # once, on worker 0
+        candidates = candidates.filter(
+            F.pmod(F.xxhash64(F.concat("clip_a", F.lit("|"), "clip_b")),
+                   F.lit(args.n_procs)) == args.idx
+        )
+        _barrier(args.sync_dir, args.idx)
+        t0 = time.monotonic()
+        clips = spark.read.parquet(*inputs)
+        n_cand = (args.n_candidates // args.n_procs + 1
+                  if args.n_candidates is not None else None)
+        verified = verify_candidates(candidates, clips, CLIPS_CONFIG,
+                                     signatures=signatures, n_candidates=n_cand)
+        verified.write.mode("overwrite").parquet(args.output)
+        wall = time.monotonic() - t0
+
+    import pyarrow.parquet as pq
+    rows = sum(
+        pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
+        for f in os.listdir(args.output) if f.startswith("part-")
+    )
+    print(json.dumps({"idx": args.idx, "mode": args.mode,
+                      "wall_sec": round(wall, 3), "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -188,6 +188,78 @@ def q_decontaminate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8/S10/S11 in one green query: write the documents table as a
+    standard DB, a distributed hashdeep DB, and an `.xz` single-file
+    hashdeep DB; read each back through the format-detecting sources and
+    emit (format, path, algorithm, hash, file_size, valid, sniffed).
+    Mirrors the reference's round-trip tests
+    (/root/reference/src/database.rs:606-634) and its sniffing/compression
+    paths (src/database.rs:36-130)."""
+    import shutil
+    import tempfile
+
+    from quichash_spark.sources import hashdb
+
+    docs = _read(spark, sf_dir, "documents")
+    db = docs.select(
+        _doc_path(),
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.length("text").cast("long").alias("file_size"),
+    )
+    root = tempfile.mkdtemp(prefix="qh_dbrt_")
+    try:
+        std_dir = os.path.join(root, "std")
+        hd_dir = os.path.join(root, "hd")
+        hashdb.write_standard(
+            db.select(
+                F.col("md5_hex").alias("hash"),
+                F.lit("md5").alias("algorithm"),
+                F.lit(False).alias("fast_mode"),
+                "path",
+            ),
+            std_dir,
+        )
+        hashdb.write_hashdeep(
+            db, hd_dir, algorithms=["md5", "sha256"],
+            hash_cols=["md5_hex", "sha256_hex"],
+        )
+        hd_file = os.path.join(root, "hd_single.txt")
+        hashdb.write_hashdeep_file(
+            db, hd_file, algorithms=["md5", "sha256"],
+            hash_cols=["md5_hex", "sha256_hex"],
+        )
+        xz_path = hashdb.compress_database(hd_file)
+
+        def tag(df: DataFrame, fmt: str, src: str, with_size: bool) -> DataFrame:
+            return df.select(
+                F.lit(fmt).alias("format"),
+                "path",
+                "algorithm",
+                "hash",
+                (F.col("file_size") if with_size else F.lit(None).cast("long")).alias(
+                    "file_size"
+                ),
+                "valid",
+                F.lit(hashdb.sniff_format(spark, src)).alias("sniffed"),
+            )
+
+        out = (
+            tag(hashdb.read_standard(spark, std_dir), "standard", std_dir, False)
+            .unionByName(tag(hashdb.read_hashdeep(spark, hd_dir), "hashdeep", hd_dir, True))
+            .unionByName(
+                tag(hashdb.read_hashdeep(spark, xz_path), "hashdeep_xz", xz_path, True)
+            )
+        )
+        # the reads above are lazy over files in `root`: materialize before
+        # the temp dir is deleted (localCheckpoint keeps it executor-side)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_hashignore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference P4 (gitignore-semantics .hashignore filter,
     /root/reference/src/ignore_handler.rs:27-82): per-path ignore decisions
@@ -502,6 +574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_hash": q_multi_hash,
     "fast_mode_hash": q_fast_mode_hash,
     "hashignore_filter": q_hashignore_filter,
+    "hashdb_roundtrip": q_hashdb_roundtrip,
     "decontaminate_hits": q_decontaminate_hits,
     "verify_classification": q_verify_classification,
     "compare_dbs": q_compare_dbs,
@@ -609,6 +682,26 @@ ORACLE_SQL: dict[str, str] = {
                              || substr(text, length(text) - 99, 100))
                     else md5(text) end as fast_md5
         from documents
+    """,
+    "hashdb_roundtrip": """
+        with base as (
+          select 'doc_' || cast(doc_id as varchar) as path,
+                 md5(text) as md5_hex, sha256(text) as sha256_hex,
+                 cast(length(text) as bigint) as file_size
+          from documents
+        )
+        select 'standard' as format, path, 'md5' as algorithm,
+               md5_hex as hash, cast(null as bigint) as file_size,
+               true as valid, 'standard' as sniffed
+        from base
+        union all
+        select f.format, b.path, a.algorithm,
+               case a.algorithm when 'md5' then b.md5_hex
+                                else b.sha256_hex end as hash,
+               b.file_size, true as valid, 'hashdeep' as sniffed
+        from base b
+        cross join (values ('md5'), ('sha256')) a(algorithm)
+        cross join (values ('hashdeep'), ('hashdeep_xz')) f(format)
     """,
     "decontaminate_hits": """
         with toks as (

@@ -44,10 +44,16 @@ def contamination_hits(
     ``min_shared`` is the contamination gate: a single shared k-token
     shingle already means a k-token verbatim overlap.
     """
+    # join on xxhash64(shingle) longs, not the raw k-token strings: the
+    # join key shrinks from ~8 tokens of text (~50-100 B) to 8 B, cutting
+    # the broadcast (or shuffle-fallback) width by ~10x at corpus scale.
+    # A 64-bit collision would add a false POSITIVE hit — the conservative
+    # direction for decontamination (never un-flags real contamination),
+    # at ~n^2/2^65 odds per eval set.
     ev_sh = evals.select(
         F.col(eval_id),
         F.explode(shingle_array(F.col(text_col), k)).alias("sh"),
-    ).distinct()
+    ).select(eval_id, F.xxhash64("sh").alias("sh_key")).distinct()
     ev_sizes = ev_sh.groupBy(eval_id).agg(F.count("*").alias("eval_shingles"))
     if broadcast_eval:
         ev_sh = F.broadcast(ev_sh)
@@ -55,9 +61,9 @@ def contamination_hits(
     tr_sh = train.select(
         F.col(train_id),
         F.explode(F.array_distinct(shingle_array(F.col(text_col), k))).alias("sh"),
-    )
+    ).select(train_id, F.xxhash64("sh").alias("sh_key"))
     return (
-        tr_sh.join(ev_sh, "sh")
+        tr_sh.join(ev_sh, "sh_key")
         .groupBy(train_id, eval_id)
         .agg(F.count("*").cast("long").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)

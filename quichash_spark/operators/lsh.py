@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 
 from quichash_spark.config import DedupConfig
 
+#: DataFrames persisted by unified_candidates for the lifetime of ONE
+#: candidate computation.  A long-lived session running many pipelines
+#: would otherwise accumulate cached blocks until LRU pressure; callers
+#: (the pipeline's candidates stage) release them once the returned
+#: DataFrames are materialized.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate cached by unified_candidates.  Call
+    after the candidate/dropped outputs are materialized (checkpointed)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def band_table(signatures: DataFrame, cfg: DedupConfig, column: str = "minhash_text") -> DataFrame:
     """(clip_id, band_idx, band_key) — one row per band per clip.
@@ -220,10 +240,10 @@ def unified_candidates(
         from pyspark.sql import Window
 
         w = Window.partitionBy("band_idx", "band_key")
-        summary = (
-            buckets.withColumn("bucket_n", F.count("*").over(w))
-            .filter(F.col("bucket_n") > 1)
-            .persist()
+        summary = _persist(
+            buckets.withColumn("bucket_n", F.count("*").over(w)).filter(
+                F.col("bucket_n") > 1
+            )
         )
         dropped = (
             summary.filter(F.col("bucket_n") > cfg.band_bucket_cap)
@@ -239,7 +259,7 @@ def unified_candidates(
         return _pairs_from_raw(raw, cfg, nb, n_channels, use_pcm), dropped
 
     sizes = buckets.groupBy("band_idx", "band_key").agg(F.count("*").alias("bucket_n"))
-    summary = sizes.filter(F.col("bucket_n") > 1).persist()
+    summary = _persist(sizes.filter(F.col("bucket_n") > 1))
     kept_keys = summary.filter(F.col("bucket_n") <= cfg.band_bucket_cap).select(
         "band_idx", "band_key"
     )
@@ -253,7 +273,7 @@ def unified_candidates(
         )
         raw = _expand_bucket_pairs(members)
     else:
-        kept = buckets.join(kept_keys, ["band_idx", "band_key"]).persist()
+        kept = _persist(buckets.join(kept_keys, ["band_idx", "band_key"]))
         a, b = kept.alias("a"), kept.alias("b")
         raw = a.join(
             b,

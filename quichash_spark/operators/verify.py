@@ -130,13 +130,23 @@ def verify_candidates(
     signatures: DataFrame | None = None,
     broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
     task_mb: int = 32,
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """candidates(clip_a, clip_b, source) -> verified edges (see module
-    docstring for the fast/slow execution split)."""
+    docstring for the fast/slow execution split).
+
+    ``n_candidates``: known candidate row count (the pipeline passes the
+    checkpoint manifest's count).  Without it, ``candidates`` is persisted
+    before the sizing ``count()`` so a non-checkpointed input computes its
+    DAG exactly once instead of once for sizing and again for the run.
+    """
     if signatures is None:
         from quichash_spark.functions.udfs import compute_signatures
 
         signatures = compute_signatures(clips, cfg)
+    if n_candidates is None:
+        candidates = candidates.persist()
+        n_candidates = candidates.count()
     lite = signatures.select("clip_id", "pcm_hash", "simhash", "transcript")
     p = candidates.join(
         lite.select(
@@ -194,10 +204,9 @@ def verify_candidates(
     # upgrades it to broadcast at runtime when the build side turns out
     # small).  Corpus bytes never shuffle un-pruned on either path.
     ids = membership.select("clip_id").distinct()
-    # conservative upper bound on slow-pair volume that's nearly free to
-    # measure: candidates is a checkpointed parquet in the pipeline, so
-    # count() reads footer metadata only
-    n_slow = candidates.count()
+    # conservative upper bound on slow-pair volume, known without a job
+    # (manifest hint or the persisted count above)
+    n_slow = n_candidates
     if n_slow <= broadcast_pair_limit:
         ids = F.broadcast(ids)
         membership = F.broadcast(membership)
@@ -302,6 +311,8 @@ def verify_candidates(
     # floor keeps every core busy on tiny inputs (interleaved A/B at
     # n=200k showed 4 MB vs 32 MB budgets within noise of each other, so
     # the budget is a memory bound, not a throughput dial).
+    # one cheap 2-int-column scan of the corpus (never bytes, never the
+    # signature DAG — which may be un-checkpointed here)
     avg_bytes = (
         clips.agg(F.avg(F.col("sr_hz") * F.col("dur_ms") / 500.0)).first()[0] or 16384.0
     )

@@ -105,13 +105,24 @@ def run_pipeline(
         return pairs
 
     candidates = _stage(store, "candidates", build_candidates, timings)
+    # the bucket summaries persisted inside unified_candidates are fully
+    # consumed once the candidates checkpoint exists; release them so a
+    # long-lived session running many pipelines doesn't accumulate cache
+    from quichash_spark.operators import lsh as _lsh
+
+    _lsh.release_cached()
 
     # exact pairs need no re-verification (proven identical by content
     # hash) but they also cost nothing: identical pcm_hash routes them
     # through the JVM fast path where transcript equality accepts them —
     # so no anti-join barrier is spent carving them out
     def build_verified() -> DataFrame:
-        return verify_candidates(candidates, clips, cfg, signatures=signatures)
+        # manifest row count: sizing without a count job (even the
+        # footer-metadata count is free to skip)
+        return verify_candidates(
+            candidates, clips, cfg, signatures=signatures,
+            n_candidates=store.rows("candidates"),
+        )
 
     verified = _stage(store, "verified_edges", build_verified, timings)
 

@@ -200,9 +200,22 @@ def read_hashdeep(spark: SparkSession, path: str) -> DataFrame:
     the banner or inferred from hash length (src/database.rs:404-414).
     `.xz`-transparent."""
     raw = read_db_lines(spark, path)
+    # banner lines only, BEFORE limit: a multi-part text dir (e.g. the
+    # output of write_hashdeep) has no guaranteed row order, so limiting
+    # the raw lines can miss the '%%%%' header and silently fall back to
+    # hash-length inference (misnaming same-length algorithms)
     algos = _parse_hashdeep_header(
-        [r["value"] for r in raw.limit(10).collect()]
+        [r["value"] for r in raw.filter(F.col("value").startswith("%%%%")).limit(10).collect()]
     )
+    if not algos:
+        # a write_hashdeep dir carries its banner as a _HEADER part, which
+        # Spark's text reader skips as metadata — read it directly rather
+        # than falling back to hash-length inference (which misnames
+        # same-length algorithms, e.g. sha256 vs blake3)
+        hdr = os.path.join(path, "_HEADER")
+        if os.path.isfile(hdr):
+            with open(hdr) as f:
+                algos = _parse_hashdeep_header(f.read().splitlines())
     data = raw.filter(
         ~F.col("value").startswith("%")
         & ~F.col("value").startswith("##")
@@ -210,14 +223,18 @@ def read_hashdeep(spark: SparkSession, path: str) -> DataFrame:
     )
     parts = F.split(F.col("value"), ",")
     n = F.size(parts)
+    # posexplode_OUTER: a malformed line (<3 comma fields) must survive as
+    # a valid=false row with null hash — the module contract (and the
+    # standard-format reader's behavior); the reference silently skips
+    # them (src/database.rs:581-596), we keep them observable
     exploded = data.select(
         (n >= 3).alias("valid"),
-        F.trim(parts[0]).cast("long").alias("file_size"),
+        # try_cast: ANSI mode would fail the whole job on one malformed
+        # size field; malformed rows carry null + valid=false instead
+        F.trim(parts[0]).try_cast("long").alias("file_size"),
         F.trim(F.element_at(parts, -1)).alias("path"),
-        F.posexplode(
-            F.when(n >= 3, F.slice(parts, 2, (n - 2).cast("int"))).otherwise(
-                F.array().cast("array<string>")
-            )
+        F.posexplode_outer(
+            F.when(n >= 3, F.slice(parts, 2, (n - 2).cast("int")))
         ).alias("algo_idx", "hash"),
     ).withColumn("hash", F.trim("hash"))
     if algos:
@@ -227,7 +244,7 @@ def read_hashdeep(spark: SparkSession, path: str) -> DataFrame:
         ).otherwise(algorithm_from_hash_length(F.col("hash")))
     else:
         algorithm = algorithm_from_hash_length(F.col("hash"))
-    return exploded.filter(F.col("hash") != "").select(
+    return exploded.filter(~F.col("valid") | (F.col("hash") != "")).select(
         "path", "file_size", algorithm.alias("algorithm"), "hash", "valid"
     )
 

@@ -119,3 +119,128 @@ def stream_cluster_assign(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-duplicate assignment (band-key state)
+# ---------------------------------------------------------------------------
+
+BAND_OUT_SCHEMA = (
+    "clip_id string, band_idx int, band_key long, rep string, is_new boolean"
+)
+BAND_STATE_SCHEMA = "rep string"
+
+
+def _band_assign(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State per (band_idx, band_key): the first clip that presented this
+    band key (the bucket's streaming representative)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rep = state.get[0] if state.exists else None
+    out: dict[str, list] = {
+        "clip_id": [], "band_idx": [], "band_key": [], "rep": [], "is_new": [],
+    }
+    for pdf in pdfs:
+        for cid in pdf["clip_id"]:
+            first = rep is None
+            if first:
+                rep = cid
+            out["clip_id"].append(cid)
+            out["band_idx"].append(key[0])
+            out["band_key"].append(key[1])
+            out["rep"].append(rep)
+            out["is_new"].append(first)
+    state.update((rep,))
+    yield pd.DataFrame(out)
+
+
+def stream_near_dup_assign(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    cfg: DedupConfig = CLIPS_CONFIG,
+    max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Incremental LSH dedup: band-key state instead of exact-hash state —
+    the true streaming analog of batch stage 3 (operators/lsh.py).
+
+    A clip arriving in any micro-batch is assigned to the cluster of the
+    FIRST clip that presented any of its LSH band keys (text + pcm
+    channels), so a *near*-duplicate (not byte-identical) that arrives
+    hours after the original joins the original's cluster.  Two stages:
+
+    1. ``applyInPandasWithState`` keyed by ``(band_idx, band_key)`` —
+       state is one clip_id per distinct band key (the streaming
+       representative); size O(distinct band keys), shuffled by key,
+       TTL-boundable exactly like the exact-hash operator.
+    2. per-micro-batch reduction in ``foreachBatch``: a clip's cluster is
+       the min representative over the band keys it MATCHED (rows where it
+       was not the seeder), else itself.  All of one clip's band rows land
+       in the same micro-batch, so this is a plain batch groupBy — the
+       standard escape hatch for a second stateful stage.
+
+    Streaming tradeoff vs the batch pipeline (documented, deliberate):
+    clusters are star-shaped around first-seen representatives with no
+    transitive merge (batch CC merges chains) and no SNR verification —
+    it is the candidate recall surface, incremental; run the batch
+    verify/CC stages over the checkpointed output for the precise final
+    clusters.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    sigs = compute_signatures(stream, cfg, include_minhash=False).filter(
+        F.col("decode_ok")
+    )
+    bands = sigs.select(
+        "clip_id",
+        F.posexplode(F.concat("band_keys_text", "band_keys_pcm")).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def assign_with_ttl(key, pdfs, state):
+        yield from _band_assign(key, pdfs, state)
+        if ttl_ms and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+
+    assigned = bands.groupBy("band_idx", "band_key").applyInPandasWithState(
+        assign_with_ttl, BAND_OUT_SCHEMA, BAND_STATE_SCHEMA, "append", timeout
+    )
+
+    def finalize(batch_df: DataFrame, _batch_id: int) -> None:
+        matched = F.when(
+            ~F.col("is_new") & (F.col("rep") != F.col("clip_id")), F.col("rep")
+        )
+        out = (
+            batch_df.groupBy("clip_id")
+            .agg(F.min(matched).alias("match_rep"))
+            .select(
+                "clip_id",
+                F.coalesce("match_rep", "clip_id").alias("cluster_id"),
+                F.col("match_rep").isNotNull().alias("joined_existing"),
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        assigned.writeStream.foreachBatch(finalize)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -19,6 +19,7 @@ FAST_QUERIES = [
     "text_langid",
     "doc_fingerprint",
     "multi_hash",
+    "hashdb_roundtrip",
     "verify_classification",
     "compare_dbs",
     "moved_detection",

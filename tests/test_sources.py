@@ -145,3 +145,37 @@ def test_compressed_sink(spark, tmp_path):
     hashdb.write_standard(_entries(spark), path, compression="gzip")
     back = hashdb.read_standard(spark, path)
     assert back.filter("valid").count() == 3
+
+
+def test_hashdeep_malformed_lines_surfaced(spark, tmp_path):
+    """<3 comma fields must survive as valid=false rows (posexplode_outer),
+    not vanish — same contract as the standard reader; the reference skips
+    them silently (src/database.rs:581-596)."""
+    p = tmp_path / "bad.hashdeep"
+    p.write_text(
+        "%%%% HASHDEEP-1.0\n"
+        "%%%% size,md5,filename\n"
+        f"1024,{'a' * 32},/ok/file\n"
+        "no-commas-here\n"
+        "only,two\n"
+    )
+    back = hashdb.read_hashdeep(spark, str(p)).collect()
+    valid = [r for r in back if r["valid"]]
+    invalid = [r for r in back if not r["valid"]]
+    assert len(valid) == 1 and valid[0]["path"] == "/ok/file"
+    assert len(invalid) == 2
+    assert all(r["hash"] is None for r in invalid)
+
+
+def test_hashdeep_dir_read_uses_header_banner(spark, tmp_path):
+    """Reading a write_hashdeep DIR must take algorithm names from the
+    _HEADER banner (Spark's text reader skips _-prefixed parts), not fall
+    back to hash-length inference — a 64-hex blake3 would otherwise be
+    misnamed sha256."""
+    path = str(tmp_path / "db_blake3")
+    df = spark.createDataFrame(
+        [Row(hash="d" * 64, file_size=1024, path="/a")]
+    )
+    hashdb.write_hashdeep(df, path, algorithms=["blake3"])
+    rows = hashdb.read_hashdeep(spark, path).collect()
+    assert rows[0]["algorithm"] == "blake3"

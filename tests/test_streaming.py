@@ -26,3 +26,40 @@ def test_stream_matches_batch(spark, tmp_path):
     }
     assert batch == streamed
     assert len(batch) > 0
+
+
+def test_stream_near_dup_band_state(spark, tmp_path):
+    """Incremental LSH dedup (band-key state): a NEAR-duplicate — noisy
+    PCM, not byte-identical — arriving in a LATER micro-batch joins the
+    original's cluster via the shared text band keys (VERDICT r2 #6)."""
+    from quichash_spark.fixtures import CLIPS_SCHEMA
+    from quichash_spark.fixtures.clips import clip_row
+    from quichash_spark.streaming.cluster import stream_near_dup_assign
+
+    src = tmp_path / "clips_nd"
+    src.mkdir()
+    # micro-batch 1: the audio-near base (off 14) + unique clips
+    b1 = spark.createDataFrame([clip_row(i) for i in (0, 4, 14)], CLIPS_SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    # micro-batch 2: its SNR-33-40dB noisy near-duplicate (off 15) + unique
+    b2 = spark.createDataFrame([clip_row(i) for i in (6, 15)], CLIPS_SCHEMA)
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    got = stream_near_dup_assign(
+        spark,
+        str(src) + "/*/",
+        str(tmp_path / "ckpt_nd"),
+        str(tmp_path / "out_nd"),
+        max_files_per_trigger=1,
+    )
+    rows = {r["clip_id"]: r for r in got.collect()}
+    assert len(rows) == 5
+    a, b = rows["clip_00000014"], rows["clip_00000015"]
+    # near-duplicates share a cluster; the rep is one of the pair
+    assert a["cluster_id"] == b["cluster_id"]
+    assert a["cluster_id"] in ("clip_00000014", "clip_00000015")
+    assert a["joined_existing"] or b["joined_existing"]
+    # unique clips form their own clusters
+    for i in (0, 4, 6):
+        cid = f"clip_{i:08d}"
+        assert rows[cid]["cluster_id"] == cid
+        assert not rows[cid]["joined_existing"]
