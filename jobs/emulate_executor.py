@@ -64,13 +64,32 @@ def main() -> None:
     from quichash_spark.functions.udfs import compute_signatures
     from quichash_spark.session import get_spark
 
-    spark = get_spark("local[1]", shuffle_partitions=2,
-                      app_name=f"emu_exec_{args.mode}_{args.idx}")
+    # ActiveProcessorCount=2: a real 1-core executor runs in a cgroup
+    # that caps what the JVM sees, sizing GC/JIT/common-pool threads
+    # accordingly.  Without it each local[1] worker JVM spawns 32-CPU
+    # sized GC+compiler pools and four concurrent workers pummel each
+    # other (measured: 100k-row slice 48-55s solo vs 70-76s concurrent;
+    # with the cap both match).
+    spark = get_spark(
+        "local[1]", shuffle_partitions=2,
+        app_name=f"emu_exec_{args.mode}_{args.idx}",
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=2",
+        },
+    )
     inputs = args.inputs.split(",")
 
-    # warmup OUTSIDE the timed region: JVM JIT, codegen, Python worker
-    # spin-up — a real cluster's executors are long-lived and warm too
-    warm = compute_signatures(clips_dataframe(spark, 100, partitions=1),
+    # warmup OUTSIDE the timed region: JVM JIT (C2 needs real invocation
+    # counts on the parquet scan/write paths, not just the kernel),
+    # codegen, Python worker spin-up — a real cluster's executors are
+    # long-lived and warm too.  The warm pass runs the exact
+    # read-parquet -> sign -> write-parquet path of the timed region
+    # (generated rows alone leave the scan path cold: a ~6s ramp was
+    # measured inside the timed region with a 100-row generated warmup).
+    # Worker-private dirs: no cross-process race on a shared cache.
+    warm_src = os.path.join(args.sync_dir, f"warmsrc_{args.idx}")
+    clips_dataframe(spark, 2000, partitions=2).write.mode("overwrite").parquet(warm_src)
+    warm = compute_signatures(spark.read.parquet(warm_src),
                               CLIPS_CONFIG, include_minhash=False)
     warm.write.mode("overwrite").parquet(os.path.join(args.sync_dir, f"warm_{args.idx}"))
 

@@ -13,9 +13,14 @@ final compression carries the ROOT flag.
 
 Validation status: reproduces the published empty-input digest and the
 official test-vector digests for 1-byte and "abc" inputs
-(tests/test_hashreg.py); multi-chunk tree shape is pinned by regression
-digests from this implementation — cross-check against the C/Rust
-implementation when a wheel is available, then swap the registry entry.
+(tests/test_hashreg.py); the multi-chunk/multi-block tree paths are
+additionally cross-validated against an INDEPENDENT second derivation —
+the incremental chunk-state + CV-stack algorithm (bottom-up tree), which
+must agree bit-identically at 25 lengths covering every block/chunk/tree
+boundary (tests/test_kernel_crosscheck.py).  The official
+test_vectors.json corpus (repeating 0..250 pattern — the same inputs the
+pins use) is not retrievable in this sandbox; embed it when network or a
+wheel is available, then swap the registry entry.
 
 Performance: interpreter-speed, Arrow-batched at the UDF layer — catalog
 closure, not the 100 TB hot path.

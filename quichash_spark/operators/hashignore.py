@@ -173,6 +173,17 @@ def load_hashignore(root: str) -> list[Rule]:
 
     Parent files are applied FIRST and the root's file LAST, so the rules
     closest to the data win — standard gitignore precedence.
+
+    DELIBERATE deviation from the reference (documented, not a bug): its
+    GitignoreBuilder adds the ROOT file first and parents after
+    (ignore_handler.rs:39-55 + last-match-wins), giving parent rules
+    precedence over the root's, and it anchors each file's '/'-prefixed
+    patterns to that file's own directory.  This engine follows the
+    git-standard order (closest file wins) and anchors every pattern to
+    the scan root, because table rows carry root-relative key paths with
+    no per-directory file hierarchy to anchor against.  Rule sets with
+    conflicting negations or anchored patterns across parent files can
+    therefore resolve differently from the reference CLI.
     """
     chain: list[str] = []
     cur: str | None = os.path.abspath(root)

@@ -1,0 +1,221 @@
+"""Independent second implementations of the BLAKE3 tree layer and the
+XXH3 long-stripe path, cross-checked against the production kernels.
+
+Why: the production kernels reproduce every published vector we can embed
+offline (empty / 1-byte / "abc" for BLAKE3, the empty-input pair for
+XXH3 — tests/test_hashreg.py), but the multi-chunk / multi-stripe paths
+were pinned by self-generated regression digests (VERDICT r2 #2).  The
+official BLAKE3 test_vectors.json and XXH3 sanity buffers are not
+retrievable in this sandbox (no network, no wheels), so this module does
+the next-strongest thing: derive the same functions AGAIN from the
+public specs with a *structurally different* algorithm, and require
+bit-identical agreement across every length branch:
+
+- BLAKE3: the production kernel splits the tree TOP-DOWN (recursive
+  largest-power-of-two-left split); here the INCREMENTAL chunk-state +
+  CV-stack algorithm (trailing-zero merge rule) from the reference
+  implementation's description builds the tree BOTTOM-UP.  The two
+  derivations only agree if both implement the spec's tree shape.
+- XXH3: the production kernel is scalar-int Python; here the
+  accumulate/scramble/merge pipeline is re-derived with numpy uint64
+  lane arithmetic (different overflow model, different loop bounds
+  derivation).
+
+Inputs use the BLAKE3 official-vector convention (the repeating byte
+pattern 0..250) at every boundary the branches care about, so the pinned
+digests line up with the official corpus if it is ever imported.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from quichash_spark.functions import blake3_pure as b3
+from quichash_spark.functions import xxh3_pure as x3
+
+
+def pattern(n: int) -> bytes:
+    return bytes(i % 251 for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# BLAKE3: incremental chunk-state + CV-stack (bottom-up tree)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_cv(chunk: bytes, counter: int) -> list[int]:
+    """Chaining value of one complete (non-root) chunk."""
+    cv = list(b3.IV)
+    n_blocks = max(1, (len(chunk) + b3.BLOCK_LEN - 1) // b3.BLOCK_LEN)
+    for bi in range(n_blocks):
+        blk = chunk[bi * b3.BLOCK_LEN : (bi + 1) * b3.BLOCK_LEN]
+        flags = (b3.CHUNK_START if bi == 0 else 0) | (
+            b3.CHUNK_END if bi == n_blocks - 1 else 0
+        )
+        cv = b3._compress(cv, b3._block_words(blk), counter, len(blk), flags)[:8]
+    return cv
+
+
+def blake3_iterative(data: bytes) -> bytes:
+    """Bottom-up BLAKE3: push chunk CVs onto a stack, merging two subtrees
+    whenever the completed-chunk count has a trailing zero bit; fold the
+    stack at the end with ROOT on the last compression."""
+    n_chunks = max(1, (len(data) + b3.CHUNK_LEN - 1) // b3.CHUNK_LEN)
+    if n_chunks == 1:
+        # single chunk: ROOT goes on the chunk's last block
+        chunk = data
+        cv = list(b3.IV)
+        n_blocks = max(1, (len(chunk) + b3.BLOCK_LEN - 1) // b3.BLOCK_LEN)
+        for bi in range(n_blocks):
+            blk = chunk[bi * b3.BLOCK_LEN : (bi + 1) * b3.BLOCK_LEN]
+            flags = (b3.CHUNK_START if bi == 0 else 0) | (
+                b3.CHUNK_END if bi == n_blocks - 1 else 0
+            )
+            if bi == n_blocks - 1:
+                out = b3._compress(
+                    cv, b3._block_words(blk), 0, len(blk), flags | b3.ROOT
+                )
+                return struct.pack("<16I", *out)[:32]
+            cv = b3._compress(cv, b3._block_words(blk), 0, len(blk), flags)[:8]
+    stack: list[list[int]] = []
+    for c in range(n_chunks - 1):  # last chunk handled at finalization
+        cv = _chunk_cv(data[c * b3.CHUNK_LEN : (c + 1) * b3.CHUNK_LEN], c)
+        total = c + 1
+        while total & 1 == 0:
+            cv = b3._compress(
+                list(b3.IV), stack.pop() + cv, 0, b3.BLOCK_LEN, b3.PARENT
+            )[:8]
+            total >>= 1
+        stack.append(cv)
+    cv = _chunk_cv(data[(n_chunks - 1) * b3.CHUNK_LEN :], n_chunks - 1)
+    while stack:
+        flags = b3.PARENT | (b3.ROOT if len(stack) == 1 else 0)
+        out = b3._compress(list(b3.IV), stack.pop() + cv, 0, b3.BLOCK_LEN, flags)
+        cv = out[:8]
+    return struct.pack("<16I", *out)[:32]
+
+
+BLAKE3_LENGTHS = [
+    0, 1, 2, 3, 63, 64, 65, 127, 128, 129, 1023, 1024, 1025, 2048, 2049,
+    3072, 3073, 4096, 4097, 5 * 1024, 5 * 1024 + 7, 7 * 1024 - 1, 8192,
+    16384 + 1, 31 * 1024,
+]
+
+
+@pytest.mark.parametrize("n", BLAKE3_LENGTHS)
+def test_blake3_recursive_equals_iterative(n):
+    data = pattern(n)
+    assert b3.blake3_digest(data) == blake3_iterative(data), n
+
+
+def test_blake3_iterative_reproduces_published_anchors():
+    """The bottom-up derivation independently reproduces the published
+    vectors directly (same anchors as test_hashreg.py)."""
+    assert blake3_iterative(b"").hex() == (
+        "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+    assert blake3_iterative(b"abc").hex() == (
+        "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85"
+    )
+
+
+# ---------------------------------------------------------------------------
+# XXH3: numpy-lane re-derivation of the long-stripe path
+# ---------------------------------------------------------------------------
+
+_STRIPE = 64
+_SECRET64 = np.frombuffer(x3.SECRET, dtype="<u8")
+_M64 = (1 << 64) - 1
+
+
+def _np_accumulate(acc: np.ndarray, data: bytes) -> None:
+    """accumulate/scramble over all stripes of ``data`` (spec: blocks of
+    (secret_len-stripe)/8 = 16 stripes, scramble after each full block,
+    last stripe anchored to the END of the input at secret offset
+    len(secret)-stripe-7)."""
+    n = len(data)
+    stripes_per_block = (len(x3.SECRET) - _STRIPE) // 8  # 16
+    block_len = _STRIPE * stripes_per_block
+    nb_blocks = (n - 1) // block_len
+    prime32_1 = np.uint64(x3.P32_1)
+
+    def acc_stripe(off: int, soff: int) -> None:
+        lanes = np.frombuffer(data, dtype="<u8", count=8, offset=off)
+        # secret offsets are BYTE offsets (the last stripe uses
+        # len(secret)-stripe-7 = 121, deliberately unaligned)
+        key = np.frombuffer(x3.SECRET, dtype="<u8", count=8, offset=soff)
+        dk = lanes ^ key
+        with np.errstate(over="ignore"):
+            acc[[1, 0, 3, 2, 5, 4, 7, 6]] += lanes
+            acc[:] = acc + (dk & np.uint64(0xFFFFFFFF)) * (dk >> np.uint64(32))
+
+    def scramble() -> None:
+        with np.errstate(over="ignore"):
+            acc[:] = (acc ^ (acc >> np.uint64(47)) ^ _SECRET64[-8:]) * prime32_1
+
+    for b in range(nb_blocks):
+        for s in range(stripes_per_block):
+            acc_stripe(b * block_len + s * _STRIPE, s * 8)
+        scramble()
+    nb_stripes = ((n - 1) - block_len * nb_blocks) // _STRIPE
+    for s in range(nb_stripes):
+        acc_stripe(nb_blocks * block_len + s * _STRIPE, s * 8)
+    acc_stripe(n - _STRIPE, len(x3.SECRET) - _STRIPE - 7)
+
+
+def _np_merge(acc: np.ndarray, soff: int, start: int) -> int:
+    h = start & _M64
+    a = [int(v) for v in acc]
+    for i in range(4):
+        s0 = int.from_bytes(x3.SECRET[soff + 16 * i : soff + 16 * i + 8], "little")
+        s1 = int.from_bytes(
+            x3.SECRET[soff + 16 * i + 8 : soff + 16 * i + 16], "little"
+        )
+        p = (a[2 * i] ^ s0) * (a[2 * i + 1] ^ s1)
+        h = (h + ((p & _M64) ^ (p >> 64))) & _M64
+    # XXH3_avalanche
+    h = (h ^ (h >> 37)) & _M64
+    h = (h * x3.PMX1) & _M64
+    return h ^ (h >> 32)
+
+
+def xxh3_64_numpy(data: bytes) -> int:
+    acc = np.array(
+        [x3.P32_3, x3.P64_1, x3.P64_2, x3.P64_3, x3.P64_4, x3.P32_2, x3.P64_5,
+         x3.P32_1],
+        dtype=np.uint64,
+    )
+    _np_accumulate(acc, data)
+    return _np_merge(acc, 11, (len(data) * x3.P64_1) & _M64)
+
+
+def xxh3_128_numpy(data: bytes) -> tuple[int, int]:
+    acc = np.array(
+        [x3.P32_3, x3.P64_1, x3.P64_2, x3.P64_3, x3.P64_4, x3.P32_2, x3.P64_5,
+         x3.P32_1],
+        dtype=np.uint64,
+    )
+    _np_accumulate(acc, data)
+    lo = _np_merge(acc, 11, (len(data) * x3.P64_1) & _M64)
+    hi = _np_merge(
+        acc,
+        len(x3.SECRET) - 64 - 11,
+        (~(len(data) * x3.P64_2)) & _M64,
+    )
+    return lo, hi
+
+
+XXH3_LONG_LENGTHS = [241, 256, 511, 512, 513, 1023, 1024, 1025, 2048, 2049,
+                     4096, 4097, 8192 + 3]
+
+
+@pytest.mark.parametrize("n", XXH3_LONG_LENGTHS)
+def test_xxh3_long_path_scalar_equals_numpy(n):
+    data = pattern(n)
+    assert x3.xxh3_64_int(data) == xxh3_64_numpy(data), n
+    hx = x3.xxh3_128_hex(data)
+    lo, hi = xxh3_128_numpy(data)
+    assert hx == f"{hi:016x}{lo:016x}", n
