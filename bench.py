@@ -224,13 +224,22 @@ def _process_isolation_experiment(slice_dirs: list[str]) -> dict:
         out = _launch_workers(cmds, sync, os.path.join(base, "w"))
         shutil.rmtree(base, ignore_errors=True)  # kept on failure for logs
         return out
-    solo = launch(1)[0]
-    conc = launch(4)
+    # best-of-2 rounds: a single shot is hostage to transient host noise
+    # (one observed round measured solo itself 25% slow)
+    solo_walls, conc_walls, rows = [], [], 0
+    for _ in range(2):
+        solo = launch(1)[0]
+        rows = solo["rows"]
+        solo_walls.append(solo["wall_sec"])
+        conc_walls.append([w["wall_sec"] for w in launch(4)])
+    best_conc = min(conc_walls, key=max)
     return {
-        "solo_slice_wall_sec": solo["wall_sec"],
-        "concurrent_walls_sec": [w["wall_sec"] for w in conc],
-        "rows_per_slice": solo["rows"],
-        "process_scaling": round(solo["wall_sec"] / max(w["wall_sec"] for w in conc), 3),
+        "solo_slice_wall_sec": min(solo_walls),
+        "solo_walls_sec": solo_walls,
+        "concurrent_walls_sec": best_conc,
+        "concurrent_rounds_sec": conc_walls,
+        "rows_per_slice": rows,
+        "process_scaling": round(min(solo_walls) / max(best_conc), 3),
     }
 
 
@@ -474,14 +483,16 @@ def main() -> None:
     slice_root = _fresh_dir("slices")
     slice_dirs = _slice_corpus(corpus_dir, 4, slice_root)
 
+    # process experiment first: the box is freshest right after the
+    # page-cache warm (heavy pipeline trials leave writeback/JVM residue)
+    prociso = _process_isolation_experiment(slice_dirs)
+    print(f"# process isolation: {prociso}", file=sys.stderr)
     rn = _run_pipeline_timed("local[1]", 2, scaling_n, min_trials=2, max_trials=3)
     print(f"# pipeline local[1]: {rn['wall_sec']}s {rn['stage_seconds']}", file=sys.stderr)
     r4n = _run_pipeline_timed("local[4]", 8, scaling_n, min_trials=2, max_trials=3)
     print(f"# pipeline local[4]: {r4n['wall_sec']}s {r4n['stage_seconds']}", file=sys.stderr)
     r8 = _run_pipeline_timed("local[8]", 16, scaling_n, min_trials=2, max_trials=3)
     print(f"# pipeline local[8]: {r8['wall_sec']}s", file=sys.stderr)
-    prociso = _process_isolation_experiment(slice_dirs)
-    print(f"# process isolation: {prociso}", file=sys.stderr)
     shutil.rmtree(slice_root, ignore_errors=True)
     efficiency = round(rn["wall_sec"] / (4.0 * r4n["wall_sec"]), 3)
 
