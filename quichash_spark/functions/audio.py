@@ -6,16 +6,21 @@ arrive as Arrow binary columns and are decoded per batch inside
 ``mapInPandas`` kernels (quichash streams one file through many hashers;
 we stream many rows through one vectorized kernel).
 
-Codecs: the fixture corpus (FIXTURES.md) uses two trivially decodable
-codecs so no external audio libraries are required:
+Codecs — REAL, implemented from public format specs with stdlib+numpy:
 
 - ``pcm16``        raw little-endian int16 PCM
 - ``pcm16_padded`` the same, preceded by a fixed 64-byte header
+- ``wav``          RIFF/WAVE container, PCM format 1, 8/16-bit, any
+                   channel count (integer-mean downmix to mono)
+- ``mulaw``        raw G.711 mu-law bytes (telephony, 8 kHz convention)
+- ``alaw``         raw G.711 A-law bytes
 
-Real-world codecs (opus/mp3/flac) are registered as STUBS that raise
-``NotImplementedError`` — the Spark-side plumbing (schema, batching,
-dispatch) is identical, only the byte->PCM kernel would differ on a
-cluster with codec libs installed.
+Compressed codecs needing external libraries (opus/mp3/flac) are
+registered as STUBS that raise ``NotImplementedError`` — the Spark-side
+plumbing (schema, batching, dispatch) is identical, only the byte->PCM
+kernel would differ on a cluster with codec libs installed.  The G.711
+tables are cross-validated against an independent implementation
+(stdlib ``audioop``) in tests/test_codecs.py.
 """
 
 from __future__ import annotations
@@ -39,6 +44,107 @@ def _decode_pcm16_padded(data: bytes) -> np.ndarray:
     return np.frombuffer(data[PCM16_PADDED_HEADER:], dtype="<i2")
 
 
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (ITU-T G.711, public spec): 256-entry decode
+# tables built once from the reference formulas
+# ---------------------------------------------------------------------------
+
+
+def _build_ulaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _build_alaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
+def _decode_mulaw(data: bytes) -> np.ndarray:
+    return _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+
+
+def _decode_alaw(data: bytes) -> np.ndarray:
+    return _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE container (PCM format 1 only; multi-channel integer-mean
+# downmix to mono so every decoder in CODECS emits 1-D int16)
+# ---------------------------------------------------------------------------
+
+
+def _decode_wav(data: bytes) -> np.ndarray:
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, raw = 12, None, None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = bytes(data[pos : pos + 4])
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = (
+                int.from_bytes(body[0:2], "little"),   # audio format
+                int.from_bytes(body[2:4], "little"),   # channels
+                int.from_bytes(body[14:16], "little"), # bits/sample
+            )
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, bits = fmt
+    if audio_format != 1 or channels < 1:
+        raise ValueError(f"unsupported wav format {audio_format}")
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif bits == 8:  # 8-bit wav is unsigned by spec
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+        ) << 8
+    else:
+        raise ValueError(f"unsupported wav bit depth {bits}")
+    if channels > 1:
+        usable = (samples.size // channels) * channels
+        samples = (
+            samples[:usable].reshape(-1, channels).astype(np.int32).sum(axis=1)
+            // channels
+        ).astype(np.int16)
+    return samples
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int = 8000) -> bytes:
+    """Canonical 16-bit mono RIFF/WAVE writer (fixture + interop helper)."""
+    raw = np.ascontiguousarray(pcm, dtype="<i2").tobytes()
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
     def _raise(_: bytes) -> np.ndarray:
         raise NotImplementedError(
@@ -54,6 +160,9 @@ def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
 CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "pcm16": _decode_pcm16,
     "pcm16_padded": _decode_pcm16_padded,
+    "wav": _decode_wav,
+    "mulaw": _decode_mulaw,
+    "alaw": _decode_alaw,
     "opus": _stub("opus"),
     "mp3": _stub("mp3"),
     "flac": _stub("flac"),
@@ -230,6 +339,7 @@ __all__ = [
     "CODECS",
     "PCM16_PADDED_HEADER",
     "decode_pcm",
+    "encode_wav",
     "snr_db",
     "pcm_frame_bits",
     "pcm_shingle_hashes",

@@ -1,0 +1,161 @@
+"""Real image decoders from public format specs, stdlib + numpy only.
+
+Closes part of the image-codec gap noted in round 2 ("jpeg/png/webp
+honestly stubbed"): PNG needs only zlib (stdlib) and BMP needs nothing,
+so both are implemented for real here; JPEG/WebP stay stubbed in
+:mod:`quichash_spark.functions.multimodal` (their entropy coders need
+external libraries).
+
+Contract (same as the multimodal registry): ``bytes -> (h, w, 3) uint8
+RGB``.  Grayscale expands to 3 channels; alpha is dropped — the
+downstream features (means, pHash buckets) are defined over RGB.
+
+Scale note: these run inside Arrow-batched ``mapInPandas`` kernels; the
+PNG row-defilter loop is per-row Python over numpy row vectors, which is
+fine for thumbnail/feature extraction and clearly marked for replacement
+by a C-backed decoder wheel for bulk pixel workloads.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG (ISO/IEC 15948): 8-bit depth, color types 0/2/4/6, no
+    interlace.  Chunk CRCs are verified (zlib.crc32)."""
+    data = bytes(data)
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        ln, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG decompressed size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            acc = row.reshape(-1, ch).astype(np.uint64).cumsum(axis=0)
+            row = (acc & 0xFF).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 3:  # Average
+            cur = np.zeros(ch, dtype=np.uint16)
+            for x in range(stride):
+                c = x % ch
+                left = cur[c] if x >= ch else 0
+                row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+                cur[c] = row[x]
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, ch)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:  # gray + alpha -> drop alpha, expand
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGBA -> drop alpha
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal real PNG writer (8-bit RGB or grayscale, filter 0 rows) —
+    produces spec-conformant files for interop and round-trip tests."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, color_type, ch = *img.shape, 0, 1
+        body = img
+    else:
+        h, w, ch = img.shape
+        color_type = 2
+        if ch != 3:
+            raise ValueError("encode_png: RGB or grayscale only")
+        body = img.reshape(h, w * ch)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Windows BMP (BITMAPINFOHEADER, 24-bit uncompressed): BGR rows
+    padded to 4 bytes, bottom-up unless height is negative."""
+    data = bytes(data)
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    px_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=px_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+__all__ = ["decode_png", "encode_png", "decode_bmp", "PNG_SIG"]

@@ -2,13 +2,14 @@
 processed by Arrow-batched kernels.
 
 Audio is the fully-real modality in this engine (see
-:mod:`quichash_spark.functions.audio`).  Image/video follow the identical
-pattern — ``binary`` payload column + metadata struct + ``mapInPandas``
-kernel — with the actual codec step STUBBED (this container has no
-image/video libraries): decode raises ``NotImplementedError`` unless the
-deterministic fake codec is used, so the Spark-side plumbing (schema,
-batching, partitioning, UDF signatures) is real and tested while the
-pixel math is swappable on a real cluster.
+:mod:`quichash_spark.functions.audio` — pcm/wav/G.711 real, opus/mp3/
+flac stubbed).  Images follow the identical pattern — ``binary`` payload
+column + metadata struct + ``mapInPandas`` kernel — with REAL png/bmp
+decoders (:mod:`quichash_spark.functions.imaging`, public specs over
+stdlib zlib + numpy) plus the deterministic fake codec; only the
+entropy-coded formats (jpeg/webp) raise ``NotImplementedError``, so the
+Spark-side plumbing is fully real and the remaining kernels are
+swappable on a cluster with imaging wheels.
 
 Fake codec ``raw_rgb8``: header ``width:int32 | height:int32`` followed by
 ``width*height*3`` bytes — decodable with numpy alone, exercising the full
@@ -53,10 +54,15 @@ def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
     return _raise
 
 
+from quichash_spark.functions.imaging import decode_bmp, decode_png  # noqa: E402
+
 IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "raw_rgb8": _decode_raw_rgb8,
+    # REAL decoders (public specs, stdlib zlib + numpy — functions/imaging.py)
+    "png": decode_png,
+    "bmp": decode_bmp,
+    # entropy-coded formats needing external libraries stay stubbed
     "jpeg": _stub("jpeg"),
-    "png": _stub("png"),
     "webp": _stub("webp"),
 }
 
