@@ -319,6 +319,43 @@ def q_verify_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.verify_classify(expected, actual)
 
 
+def q_verify_fast_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J1 detail: verify recomputes each entry WITH THE MODE
+    RECORDED in its DB row — fast sampled digest vs full digest
+    (/root/reference/src/verify.rs:303-307).  Every third doc is stored
+    fast-mode; every seventh is mutated on 'disk', so mismatches must be
+    caught through whichever digest mode the DB row prescribes."""
+    from quichash_spark.functions.hashreg import fast_mode_md5
+
+    docs = _read(spark, sf_dir, "documents")
+    fast = F.col("doc_id") % 3 == 0
+    expected = docs.select(
+        _doc_path(),
+        fast.alias("fast_mode"),
+        F.when(fast, fast_mode_md5(F.col("text")))
+        .otherwise(F.md5("text"))
+        .alias("expected_hash"),
+    )
+    mutated = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("X"))
+    ).otherwise(F.col("text"))
+    actual = docs.select(
+        _doc_path(),
+        F.when(fast, fast_mode_md5(mutated)).otherwise(F.md5(mutated)).alias(
+            "actual_hash"
+        ),
+    )
+    return expected.join(actual, "path").select(
+        "path",
+        "fast_mode",
+        "expected_hash",
+        "actual_hash",
+        F.when(F.col("expected_hash") == F.col("actual_hash"), "match")
+        .otherwise("mismatch")
+        .alias("status"),
+    )
+
+
 def q_compare_dbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     db1 = docs.select(_doc_path(), F.md5("text").alias("hash"))
@@ -577,6 +614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashdb_roundtrip": q_hashdb_roundtrip,
     "decontaminate_hits": q_decontaminate_hits,
     "verify_classification": q_verify_classification,
+    "verify_fast_mode": q_verify_fast_mode,
     "compare_dbs": q_compare_dbs,
     "moved_detection": q_moved_detection,
     "anti_new_files": q_anti_new_files,
@@ -758,6 +796,33 @@ ORACLE_SQL: dict[str, str] = {
                     when expected_hash = actual_hash then 'match'
                     else 'mismatch' end as status
         from expected e full outer join actual a on e.path = a.path
+    """,
+    "verify_fast_mode": """
+        with e as (
+          select 'doc_' || doc_id as path, (doc_id % 3 = 0) as fast_mode,
+                 case when doc_id % 3 = 0 and length(text) > 300
+                      then md5(substr(text, 1, 100)
+                               || substr(text, ((length(text) - 100) // 2) + 1, 100)
+                               || substr(text, length(text) - 99, 100))
+                      else md5(text) end as expected_hash
+          from documents
+        ), m as (
+          select doc_id,
+                 case when doc_id % 7 = 0 then text || 'X' else text end as t
+          from documents
+        ), a as (
+          select 'doc_' || doc_id as path,
+                 case when doc_id % 3 = 0 and length(t) > 300
+                      then md5(substr(t, 1, 100)
+                               || substr(t, ((length(t) - 100) // 2) + 1, 100)
+                               || substr(t, length(t) - 99, 100))
+                      else md5(t) end as actual_hash
+          from m
+        )
+        select e.path, fast_mode, expected_hash, actual_hash,
+               case when expected_hash = actual_hash then 'match'
+                    else 'mismatch' end as status
+        from e join a on e.path = a.path
     """,
     "compare_dbs": """
         with db1 as (

@@ -21,6 +21,7 @@ FAST_QUERIES = [
     "multi_hash",
     "hashdb_roundtrip",
     "verify_classification",
+    "verify_fast_mode",
     "compare_dbs",
     "moved_detection",
     "anti_new_files",
