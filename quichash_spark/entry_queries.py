@@ -319,6 +319,53 @@ def q_verify_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.verify_classify(expected, actual)
 
 
+def _human_size_col(nbytes: F.Column) -> F.Column:
+    """Reference F4 (human KB/MB/GB formatting, compare.rs:60-74) as a JVM
+    column expression.  Two-decimal value via pure INTEGER half-up
+    arithmetic — centi-units = floor((200*n + base) / (2*base)) — so the
+    DuckDB oracle reproduces it bit-exactly (float printf rounding is not
+    portable across engines)."""
+    def fmt(base: int, unit: str) -> F.Column:
+        centi = F.floor((nbytes * 200 + F.lit(base)) / F.lit(2 * base)).cast("long")
+        return F.concat(
+            F.floor(centi / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((centi % 100).cast("string"), 2, "0"),
+            F.lit(f" {unit}"),
+        )
+
+    kb, mb, gb = 1024, 1024**2, 1024**3
+    return (
+        F.when(nbytes < kb, F.concat(nbytes.cast("string"), F.lit(" B")))
+        .when(nbytes < mb, fmt(kb, "KB"))
+        .when(nbytes < gb, fmt(mb, "MB"))
+        .otherwise(fmt(gb, "GB"))
+    )
+
+
+def q_analyze_wasted_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A3+B1+F4 in one report: duplicate groups with wasted
+    space ((n-1)*size, dedup.rs:610/analyze.rs:426) and the
+    human-readable size column of the CLI report (compare.rs:60-74)."""
+    docs = _read(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max(F.length("text")).cast("long").alias("size_bytes"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    wasted = (F.col("n") - 1) * F.col("size_bytes")
+    return groups.select(
+        "text_md5",
+        "n",
+        "size_bytes",
+        wasted.cast("long").alias("wasted_bytes"),
+        _human_size_col(wasted.cast("long")).alias("wasted_human"),
+    )
+
+
 def q_verify_fast_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference J1 detail: verify recomputes each entry WITH THE MODE
     RECORDED in its DB row — fast sampled digest vs full digest
@@ -615,6 +662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_hits": q_decontaminate_hits,
     "verify_classification": q_verify_classification,
     "verify_fast_mode": q_verify_fast_mode,
+    "analyze_wasted_report": q_analyze_wasted_report,
     "compare_dbs": q_compare_dbs,
     "moved_detection": q_moved_detection,
     "anti_new_files": q_anti_new_files,
@@ -796,6 +844,33 @@ ORACLE_SQL: dict[str, str] = {
                     when expected_hash = actual_hash then 'match'
                     else 'mismatch' end as status
         from expected e full outer join actual a on e.path = a.path
+    """,
+    "analyze_wasted_report": """
+        with g as (
+          select md5(text) as text_md5, cast(count(*) as bigint) as n,
+                 cast(max(length(text)) as bigint) as size_bytes
+          from documents group by md5(text) having count(*) > 1
+        ), w as (
+          select text_md5, n, size_bytes,
+                 (n - 1) * size_bytes as wasted_bytes from g
+        )
+        select text_md5, n, size_bytes, wasted_bytes,
+               case
+                 when wasted_bytes < 1024 then cast(wasted_bytes as varchar) || ' B'
+                 when wasted_bytes < 1048576 then
+                   cast(((wasted_bytes * 200 + 1024) // 2048) // 100 as varchar)
+                   || '.' || lpad(cast(((wasted_bytes * 200 + 1024) // 2048) % 100 as varchar), 2, '0')
+                   || ' KB'
+                 when wasted_bytes < 1073741824 then
+                   cast(((wasted_bytes * 200 + 1048576) // 2097152) // 100 as varchar)
+                   || '.' || lpad(cast(((wasted_bytes * 200 + 1048576) // 2097152) % 100 as varchar), 2, '0')
+                   || ' MB'
+                 else
+                   cast(((wasted_bytes * 200 + 1073741824) // 2147483648) // 100 as varchar)
+                   || '.' || lpad(cast(((wasted_bytes * 200 + 1073741824) // 2147483648) % 100 as varchar), 2, '0')
+                   || ' GB'
+               end as wasted_human
+        from w
     """,
     "verify_fast_mode": """
         with e as (

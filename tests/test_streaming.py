@@ -63,3 +63,37 @@ def test_stream_near_dup_band_state(spark, tmp_path):
         cid = f"clip_{i:08d}"
         assert rows[cid]["cluster_id"] == cid
         assert not rows[cid]["joined_existing"]
+
+
+def test_stream_scan_to_db_matches_batch(spark, tmp_path):
+    """Streaming scan->DB sink: the standard-format database accumulated
+    across micro-batches equals the batch scan of the same corpus, and
+    parses back through the format-aware reader."""
+    from pyspark.sql import functions as F
+
+    from quichash_spark.fixtures import CLIPS_SCHEMA
+    from quichash_spark.fixtures.clips import clip_row
+    from quichash_spark.streaming.scan_sink import stream_scan_to_db
+
+    src = tmp_path / "clips_db"
+    src.mkdir()
+    b1 = spark.createDataFrame([clip_row(i) for i in range(0, 4)], CLIPS_SCHEMA)
+    b2 = spark.createDataFrame([clip_row(i) for i in range(4, 7)], CLIPS_SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    db = stream_scan_to_db(
+        spark, str(src) + "/*/", str(tmp_path / "ckpt_db"),
+        str(tmp_path / "db_out"), max_files_per_trigger=1,
+    )
+    got = {r["path"]: r for r in db.collect()}
+    expect = {
+        r["clip_id"]: r["h"]
+        for r in b1.unionByName(b2)
+        .select("clip_id", F.sha2("bytes", 256).alias("h"))
+        .collect()
+    }
+    assert len(got) == 7
+    for cid, h in expect.items():
+        assert got[cid]["hash"] == h
+        assert got[cid]["algorithm"] == "sha256"
+        assert got[cid]["valid"] and not got[cid]["fast_mode"]
