@@ -151,8 +151,8 @@ def test_png_all_filter_types_reconstruct_per_spec():
     assert list(img[0]) == [10, 20, 30]
     assert list(img[1]) == [5, 10, 4]
     assert list(img[2]) == [6, 12, 7]
-    # Avg: x0 = 10 + (0+6)//2 = 13; x1 = 10 + (13+12)//2 = 22; wait -- see below
-    # recompute: x1 = 10 + (left=13 + up=12)//2 = 10+12 = 22; x2 = 10 + (22+7)//2 = 24
+    # Avg: x0 = 10 + (0+6)//2 = 13; x1 = 10 + (13+12)//2 = 22;
+    #      x2 = 10 + (22+7)//2 = 24
     assert list(img[3]) == [13, 22, 24]
     # Paeth row 4 over row 3 [13,22,24]:
     # x0: a=0,b=13,c=0 -> p=13 -> pred=b=13 -> 14
@@ -216,3 +216,44 @@ def test_image_features_with_real_png(spark):
     assert got["decode_ok"] and got["width"] == 16 and got["height"] == 16
     assert abs(got["mean_r"] - float(img[..., 0].mean())) < 1e-9
     assert len(got["phash"]) == 64
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM
+# ---------------------------------------------------------------------------
+
+
+def test_ima_core_matches_audioop():
+    """The nibble loop must agree with stdlib audioop's independent
+    DVI/IMA implementation (audioop packs the FIRST sample in the HIGH
+    nibble; the loop itself is byte-order-agnostic)."""
+    audioop = pytest.importorskip("audioop")
+    from quichash_spark.functions.audio import _ima_decode_nibbles
+
+    rng = np.random.default_rng(11)
+    pcm = (rng.normal(0, 6000, 400)).astype("<i2").tobytes()
+    enc, _ = audioop.lin2adpcm(pcm, 2, None)
+    expect = np.frombuffer(audioop.adpcm2lin(enc, 2, None)[0], dtype="<i2")
+    body = np.frombuffer(enc, dtype=np.uint8)
+    nibbles = np.empty(body.size * 2, dtype=np.uint8)
+    nibbles[0::2] = body >> 4   # audioop: high nibble first
+    nibbles[1::2] = body & 0x0F
+    got = _ima_decode_nibbles(nibbles, 0, 0)
+    assert np.array_equal(got, expect)
+
+
+def test_ima_adpcm_stream_decode():
+    from quichash_spark.functions.audio import _ima_decode_nibbles
+
+    # header: predictor 1234, step index 5; two bytes of nibbles
+    header = np.array([1234], dtype="<i2").tobytes() + bytes([5, 0])
+    body = bytes([0x71, 0x8F])  # low-first: 1,7,15,8
+    got = audio.decode_pcm(header + body, "ima_adpcm")
+    expect_tail = _ima_decode_nibbles(
+        np.array([1, 7, 15, 8], dtype=np.uint8), 1234, 5
+    )
+    assert got[0] == 1234
+    assert np.array_equal(got[1:], expect_tail)
+    # malformed: too short / bad index -> surfaced, not fatal
+    assert audio.decode_pcm(b"\x00\x00", "ima_adpcm") is None
+    assert audio.decode_pcm(b"\x00\x00\x7f\x00\x11", "ima_adpcm") is None
