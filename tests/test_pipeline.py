@@ -123,3 +123,48 @@ def test_partitioning_equivalence(spark, tmp_path_factory):
     assert ca == cb
     shutil.rmtree(d1, ignore_errors=True)
     shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_emulate_executor_verify_mode_partitions_exactly(spark, tmp_path):
+    """The bench harness's verify-mode executor processes (disjoint
+    pmod(xxhash64(pair_id)) residue classes) must union to exactly the
+    single-session verified-edge set — the property that makes the
+    process-level verify emulation a faithful shuffle stand-in."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import run_pipeline
+
+    ckpt = str(tmp_path / "vm_ckpt")
+    clips = materialized_clips(spark, 500)
+    run_pipeline(spark, clips, ckpt)
+    full = spark.read.parquet(ckpt + "/verified_edges").count()
+
+    sync = str(tmp_path / "vm_sync")
+    os.makedirs(sync)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for i in range(2):
+        cmd = [sys.executable, os.path.join(repo, "jobs", "emulate_executor.py"),
+               "--mode", "verify", "--inputs", "/tmp/quichash_clips/v2_n500",
+               "--output", str(tmp_path / f"vm_out_{i}"),
+               "--sync-dir", sync, "--idx", str(i), "--n-procs", "2",
+               "--candidates", ckpt + "/candidates",
+               "--signatures", ckpt + "/signatures",
+               "--n-candidates", "500"]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.DEVNULL, text=True))
+    t0 = time.monotonic()
+    while sum(os.path.exists(os.path.join(sync, f"ready_{i}")) for i in range(2)) < 2:
+        assert all(p.poll() is None or p.returncode == 0 for p in procs)
+        assert time.monotonic() - t0 < 240
+        time.sleep(0.1)
+    with open(os.path.join(sync, "go"), "w") as f:
+        f.write("go")
+    outs = [json.loads(p.communicate(timeout=300)[0].strip().splitlines()[-1])
+            for p in procs]
+    assert sum(o["rows"] for o in outs) == full > 0
