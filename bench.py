@@ -2,21 +2,23 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), the
-end-to-end clips dedup pipeline at N vs 4N emulated executors (1 vs 4
-concurrent local[1] processes for the shuffle-free Arrow stage + a
-local[N] JVM for the shuffle stages — the sandbox's faithful stand-in
-for N vs 4N cluster executors; rationale in main() and
+end-to-end clips dedup pipeline at N vs 4N cores (one JVM per level —
+the task brief's sanctioned pair; rationale in main() and
 BENCH/BASELINE.md) for the north_rule's scaling-efficiency >= 0.8
-criterion, the single-JVM local[4]/local[8] e2e runs unmodified
-alongside, and the per-algorithm hash throughput table (the reference's
-`hash benchmark` analog).
+criterion, a process-isolation experiment (solo vs 4 concurrent
+executor processes, plus a no-JVM kernel control) that cross-checks the
+map stage for cross-executor serialization, and the per-algorithm hash
+throughput table (the reference's `hash benchmark` analog).
 
 Prints ONE JSON line:
   {"metric": "clips_per_sec_e2e", "value": <throughput at local[8]>,
    "unit": "clips/sec", "queries": {...per-query seconds...}, "sf": ...,
-   "scaling": {"local1_N": {...}, "local4_4N_emulated": {...},
-               "local4_4N_singlejvm": {...}, "local8_throughput": {...},
-               "efficiency_n_to_4n": ...},
+   "n_clips": ..., "scaling_n": ...,
+   "scaling": {"local1_N": {...}, "local4_4N": {...},
+               "local8_throughput": {...}, "efficiency_n_to_4n": ...,
+               "efficiency_4_to_8_cores": ...,
+               "process_isolation_signatures": {..., "kernel_control": ...},
+               "method": "...", "target": 0.8},
    "hash_microbench": {...}}
 
 Every run starts from fresh checkpoint dirs (no cached computation);
@@ -64,17 +66,16 @@ def _fresh_dir(tag: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Emulated-executor scaling (N vs 4N executors as N vs 4N PROCESSES)
+# Process-isolation cross-check (solo vs 4 concurrent executor PROCESSES)
 #
 # A real cluster gives every executor its own JVM + Python worker pool +
-# Arrow channel.  A single local[K] JVM shares ONE Arrow channel across all
-# K workers and saturates past ~4 (BENCH/BASELINE.md) — an environment
-# artifact, not pipeline behavior.  So the scaling criterion is measured
-# with K concurrent local[1] processes over disjoint corpus file slices
-# for the shuffle-free signatures stage, then the remaining (JVM-heavy)
-# stages in one local[K] session reading the adopted checkpoint.  All
-# walls are MEASURED (no stage-min estimation); the single-JVM local[4]
-# e2e is reported alongside, unmodified.
+# Arrow channel.  The headline N->4N ratio is measured one-JVM-per-level
+# (below); this experiment cross-checks that the dominant shuffle-free
+# map stage has no CROSS-EXECUTOR serialization by running it in 1 vs 4
+# barrier-synchronized local[1] processes over disjoint corpus file
+# slices, plus a no-JVM pure-Python kernel control that separates host
+# memory-bandwidth contention from anything in the Spark/JVM stack.
+# All walls are MEASURED and reported unmodified.
 # ---------------------------------------------------------------------------
 
 
@@ -131,133 +132,70 @@ def _launch_workers(cmds: list[list[str]], sync_dir: str, log_prefix: str) -> li
     return results
 
 
-def _emulated_trial(n_procs: int, slice_dirs: list[str], corpus_dir: str,
-                    n_clips: int) -> dict:
-    """One N(=n_procs)-executor emulated pipeline run; returns measured
-    walls: max per-process signature wall + single-JVM tail stage walls."""
-    from quichash_spark.config import CLIPS_CONFIG
-    from quichash_spark.fixtures import materialized_clips
-    from quichash_spark.pipeline import run_pipeline
-    from quichash_spark.session import get_spark, stop_spark
-    from quichash_spark.storage import CheckpointStore
-
-    base = _fresh_dir(f"emu{n_procs}")
-    sync = os.path.join(base, "sync")
-    os.makedirs(sync, exist_ok=True)
-    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "jobs", "emulate_executor.py")
-    cmds = []
-    for i in range(n_procs):
-        inputs = slice_dirs[i] if n_procs > 1 else corpus_dir
-        cmds.append([
-            sys.executable, worker, "--mode", "sign",
-            "--inputs", inputs, "--output", os.path.join(base, f"sig_{i}"),
-            "--sync-dir", sync, "--idx", str(i),
-        ])
-    workers = _launch_workers(cmds, sync, os.path.join(base, "sign"))
-    sig_wall = max(w["wall_sec"] for w in workers)
-    sig_rows = sum(w["rows"] for w in workers)
-
-    # adopt the union of slice outputs as the signatures checkpoint
-    ckpt = os.path.join(base, "ckpt")
-    sig_dir = os.path.join(ckpt, "signatures")
-    os.makedirs(sig_dir, exist_ok=True)
-    for i in range(n_procs):
-        d = os.path.join(base, f"sig_{i}")
-        for f in os.listdir(d):
-            if f.startswith("part-"):
-                os.link(os.path.join(d, f), os.path.join(sig_dir, f))
-
-    stop_spark()
-    spark = get_spark(f"local[{n_procs}]", shuffle_partitions=max(2, 2 * n_procs),
-                      app_name=f"emu_tail_{n_procs}")
-    try:
-        store = CheckpointStore(spark, ckpt, CLIPS_CONFIG)
-        store.adopt("signatures", sig_wall * 1000)
-        # tail warmup (JIT/codegen/python workers) outside the timing
-        warm = materialized_clips(spark, 200)
-        run_pipeline(spark, warm, _fresh_dir("warmtail"))
-        clips = spark.read.parquet(corpus_dir)
-        t0 = time.monotonic()
-        res = run_pipeline(spark, clips, ckpt)
-        tail_wall = time.monotonic() - t0
-        n_clusters = res.clusters.select("cluster_id").distinct().count()
-    finally:
-        spark.stop()
-        shutil.rmtree(base, ignore_errors=True)  # slice outputs are GBs
-    e2e = sig_wall + tail_wall
-    return {
-        "wall_sec": round(e2e, 2),
-        "clips_per_sec": round(n_clips / e2e, 2),
-        "n_clips": n_clips,
-        "n_clusters": n_clusters,
-        "sig_wall_sec": round(sig_wall, 2),
-        "sig_worker_walls": [w["wall_sec"] for w in workers],
-        "sig_rows": sig_rows,
-        "tail_wall_sec": round(tail_wall, 2),
-        "stage_seconds": {**res.stage_seconds, "signatures": round(sig_wall, 3)},
-    }
+#: rows per worker for the no-JVM kernel control — the contention RATIO is
+#: scale-invariant, so the control runs a quarter slice to stay cheap
+KERNEL_CONTROL_ROWS = 25_000
 
 
-def _process_isolation_experiment(slice_dirs: list[str]) -> dict:
-    """Evidence that the Arrow-heavy signatures stage scales ~1.0 across
-    PROCESS-isolated executors: one worker on one corpus slice, solo,
-    then four workers on the four slices concurrently (each a local[1]
-    JVM with its own Python pool + Arrow channel, barrier-synchronized,
-    JVM processor count capped like a real 1-core executor container).
-    process_scaling = solo wall / max concurrent wall — ~1.0 means four
-    executors do 4x the work in the same wall, i.e. the stage itself has
-    no cross-executor serialization."""
+def _process_isolation_experiment(slice_dirs: list[str], rounds: int = 2) -> dict:
+    """Cross-check of the map stage across PROCESS-isolated executors:
+    one worker on one corpus slice, solo, then four workers on the four
+    slices concurrently (each a local[1] JVM with its own Python pool +
+    Arrow channel, barrier-synchronized, JVM processor count capped like
+    a real 1-core executor container).  process_scaling = solo wall /
+    max concurrent wall — ~1.0 means four executors do 4x the work in
+    the same wall.
+
+    ``kernel_control``: the IDENTICAL signature kernel with NO Spark, no
+    JVM, no Arrow IPC — one plain Python process per worker
+    (emulate_executor --mode kernel, shared-verbatim kernel function)
+    over the same slices.  If the control degrades under concurrency the
+    same way the executor processes do, the degradation is host
+    memory-bandwidth/page-cache contention — a property of co-locating
+    workers on ONE machine, not of the pipeline or the Spark stack.
+    Separate machines (a real cluster) don't share a memory bus.
+    """
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "jobs", "emulate_executor.py")
 
-    def launch(n: int) -> list[dict]:
-        base = _fresh_dir(f"prociso{n}")
+    def launch(n: int, mode: str) -> list[dict]:
+        base = _fresh_dir(f"prociso_{mode}{n}")
         sync = os.path.join(base, "sync")
         os.makedirs(sync, exist_ok=True)
+        extra = ([] if mode == "sign"
+                 else ["--limit-rows", str(KERNEL_CONTROL_ROWS)])
         cmds = [
-            [sys.executable, worker, "--mode", "sign",
+            [sys.executable, worker, "--mode", mode,
              "--inputs", slice_dirs[i], "--output", os.path.join(base, f"sig_{i}"),
-             "--sync-dir", sync, "--idx", str(i)]
+             "--sync-dir", sync, "--idx", str(i), *extra]
             for i in range(n)
         ]
         out = _launch_workers(cmds, sync, os.path.join(base, "w"))
         shutil.rmtree(base, ignore_errors=True)  # kept on failure for logs
         return out
-    # best-of-2 rounds: a single shot is hostage to transient host noise
-    # (one observed round measured solo itself 25% slow)
-    solo_walls, conc_walls, rows = [], [], 0
-    for _ in range(2):
-        solo = launch(1)[0]
-        rows = solo["rows"]
-        solo_walls.append(solo["wall_sec"])
-        conc_walls.append([w["wall_sec"] for w in launch(4)])
-    best_conc = min(conc_walls, key=max)
-    return {
-        "solo_slice_wall_sec": min(solo_walls),
-        "solo_walls_sec": solo_walls,
-        "concurrent_walls_sec": best_conc,
-        "concurrent_rounds_sec": conc_walls,
-        "rows_per_slice": rows,
-        "process_scaling": round(min(solo_walls) / max(best_conc), 3),
-    }
 
+    def measure(mode: str) -> dict:
+        # best-of-N rounds: a single shot is hostage to transient host
+        # noise (one observed round measured solo itself 25% slow)
+        solo_walls, conc_walls, rows = [], [], 0
+        for _ in range(rounds):
+            solo = launch(1, mode)[0]
+            rows = solo["rows"]
+            solo_walls.append(solo["wall_sec"])
+            conc_walls.append([w["wall_sec"] for w in launch(4, mode)])
+        best_conc = min(conc_walls, key=max)
+        return {
+            "solo_slice_wall_sec": min(solo_walls),
+            "solo_walls_sec": solo_walls,
+            "concurrent_walls_sec": best_conc,
+            "concurrent_rounds_sec": conc_walls,
+            "rows_per_slice": rows,
+            "process_scaling": round(min(solo_walls) / max(best_conc), 3),
+        }
 
-def _run_emulated(n_procs: int, slice_dirs: list[str], corpus_dir: str,
-                  n_clips: int, trials: int = 2, max_trials: int = 3) -> dict:
-    """Best-of-N measured walls; a third trial runs only when the first
-    two disagree by >8% (the documented stall lottery hit one of them)."""
-    best = None
-    walls = []
-    for t in range(max_trials):
-        r = _emulated_trial(n_procs, slice_dirs, corpus_dir, n_clips)
-        walls.append(r["wall_sec"])
-        if best is None or r["wall_sec"] < best["wall_sec"]:
-            best = r
-        if t + 1 >= trials and max(walls) <= min(walls) * 1.08:
-            break
-    best["trial_walls"] = walls
-    return best
+    out = measure("sign")
+    out["kernel_control"] = measure("kernel")
+    return out
 
 
 def _run_pipeline_timed(master: str, shuffle_partitions: int, n_clips: int,

@@ -43,9 +43,76 @@ def _barrier(sync_dir: str, idx: int, timeout: float = 300.0) -> None:
         time.sleep(0.05)
 
 
+def _run_kernel_mode(args) -> None:
+    """NO-JVM control for the process-isolation experiment: the identical
+    signature kernel (:func:`signature_record_batch`, shared verbatim with
+    the Spark stage) over a pyarrow parquet scan — no Spark session, no
+    JVM, no Arrow IPC channel, just this one Python process doing the
+    stage's compute + scan + parquet-write memory traffic.  If N-vs-4N
+    concurrent *kernel* processes degrade the same way the Spark executor
+    processes do, the degradation is host memory-bandwidth/cache
+    contention, not anything in the Spark/JVM stack."""
+    import pyarrow.parquet as pq
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions import hashing
+    from quichash_spark.functions.udfs import signature_record_batch
+
+    a_params, b_params = hashing.minhash_params(CLIPS_CONFIG)
+    cols = ["clip_id", "bytes", "codec", "transcript"]
+
+    def sign_file(src: str, writer, limit: int | None) -> tuple[object, int]:
+        done = 0
+        for rb in pq.ParquetFile(src).iter_batches(batch_size=128, columns=cols):
+            out = signature_record_batch(
+                rb.select(cols), CLIPS_CONFIG, a_params, b_params,
+                include_minhash=False,
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(args.output, "part-00000.parquet"), out.schema
+                )
+            writer.write_batch(out)
+            done += out.num_rows
+            if limit is not None and done >= limit:
+                break
+        return writer, done
+
+    files = sorted(
+        os.path.join(d, f)
+        for d in args.inputs.split(",")
+        for f in os.listdir(d)
+        if f.startswith("part-")
+    )
+    os.makedirs(args.output, exist_ok=True)
+    # warmup (numpy/pyarrow import + first-call JIT-ish costs) on a few
+    # batches of the worker's own slice, outside the timed region
+    warm_dir = os.path.join(args.sync_dir, f"kwarm_{args.idx}")
+    os.makedirs(warm_dir, exist_ok=True)
+    w, _ = sign_file(files[0], None, 2000)
+    w.close()
+    os.replace(os.path.join(args.output, "part-00000.parquet"),
+               os.path.join(warm_dir, "part-00000.parquet"))
+
+    _barrier(args.sync_dir, args.idx)
+    t0 = time.monotonic()
+    writer, rows = None, 0
+    for f in files:
+        budget = None if args.limit_rows is None else args.limit_rows - rows
+        if budget is not None and budget <= 0:
+            break
+        writer, done = sign_file(f, writer, budget)
+        rows += done
+    if writer is not None:
+        writer.close()
+    wall = time.monotonic() - t0
+    print(json.dumps({"idx": args.idx, "mode": "kernel",
+                      "wall_sec": round(wall, 3), "rows": rows}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["sign", "verify"], default="sign")
+    ap.add_argument("--mode", choices=["sign", "verify", "kernel"], default="sign")
     ap.add_argument("--inputs", required=True,
                     help="comma-separated parquet dirs (this worker's corpus slice)")
     ap.add_argument("--output", required=True, help="parquet output dir")
@@ -57,7 +124,13 @@ def main() -> None:
     ap.add_argument("--signatures", help="verify mode: signatures checkpoint dir")
     ap.add_argument("--n-candidates", type=int, default=None,
                     help="verify mode: known candidate row count (skip the count job)")
+    ap.add_argument("--limit-rows", type=int, default=None,
+                    help="kernel mode: stop after this many rows")
     args = ap.parse_args()
+
+    if args.mode == "kernel":
+        _run_kernel_mode(args)
+        return
 
     from quichash_spark.config import CLIPS_CONFIG
     from quichash_spark.fixtures import clips_dataframe
@@ -108,8 +181,11 @@ def main() -> None:
         candidates = spark.read.parquet(args.candidates)
         signatures = spark.read.parquet(args.signatures)
         # executor i of n: the residue class of pairs a hash shuffle on
-        # pair_id would route to it; include the (pure-JVM) fast path only
-        # once, on worker 0
+        # pair_id would route to it.  Fast-path (pure-JVM) pairs are
+        # partitioned across workers exactly like slow-path pairs — the
+        # residue filter applies uniformly, and the classes are disjoint
+        # and exhaustive (test_emulate_executor_verify_mode_partitions_
+        # exactly).
         candidates = candidates.filter(
             F.pmod(F.xxhash64(F.concat("clip_a", F.lit("|"), "clip_b")),
                    F.lit(args.n_procs)) == args.idx

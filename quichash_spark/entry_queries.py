@@ -322,11 +322,16 @@ def q_verify_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _human_size_col(nbytes: F.Column) -> F.Column:
     """Reference F4 (human KB/MB/GB formatting, compare.rs:60-74) as a JVM
     column expression.  Two-decimal value via pure INTEGER half-up
-    arithmetic — centi-units = floor((200*n + base) / (2*base)) — so the
+    arithmetic — centi-units = (200*n + base) div (2*base) — so the
     DuckDB oracle reproduces it bit-exactly (float printf rounding is not
-    portable across engines)."""
+    portable across engines).  The divide is a shiftright (2*base is a
+    power of two), i.e. TRUE long division: Spark's `/` on longs is double
+    division, which diverges from the oracle's integer `//` once the
+    numerator exceeds 2^53 (~45 TB wasted — reachable at the 100 TB design
+    point)."""
     def fmt(base: int, unit: str) -> F.Column:
-        centi = F.floor((nbytes * 200 + F.lit(base)) / F.lit(2 * base)).cast("long")
+        shift = (2 * base).bit_length() - 1  # 2*base == 1 << shift
+        centi = F.shiftright(nbytes * 200 + F.lit(base), shift).cast("long")
         return F.concat(
             F.floor(centi / 100).cast("long").cast("string"),
             F.lit("."),
@@ -498,11 +503,18 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs(emb, threshold=0.35)
 
 
+#: embedding dimension of the driver-generated testdata (TESTDATA.md) —
+#: fixed across scale factors.  Passed explicitly so building the ANN plan
+#: submits NO job (a `.first()` probe here used to cost one tiny job per
+#: invocation at plan-build time).
+EMBEDDING_DIM = 64
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ann_lsh_topk(queries, emb, k=5, dim=dim, n_planes=6, n_tables=16)
+    return S.ann_lsh_topk(queries, emb, k=5, dim=EMBEDDING_DIM, n_planes=6,
+                          n_tables=16)
 
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,6 +653,46 @@ def q_clips_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_candidates(sigs, CLIPS_CONFIG)
 
 
+def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate assignment (streaming/cluster.py band-key
+    state) as a driver query: availableNow over the deterministic clips
+    fixture dir, split into micro-batches (maxFilesPerTrigger) so
+    near-dups genuinely cross batch boundaries and must join via STATE.
+
+    Rows-only check by design (stateful streaming LSH is not
+    SQL-expressible); the output is an order-invariant summary — per-clip
+    cluster IDENTITY depends on intra-batch iteration order (either twin
+    may seed), but the counts (clips, join events, clusters) do not.
+    """
+    import shutil
+    import tempfile
+
+    from quichash_spark.fixtures import FIXTURE_VERSION, materialized_clips
+    from quichash_spark.streaming.cluster import stream_near_dup_assign
+
+    n = _clips_n(sf_dir)
+    materialized_clips(spark, n)  # ensure the corpus parquet exists
+    src = f"/tmp/quichash_clips/v{FIXTURE_VERSION}_n{n}"
+    root = tempfile.mkdtemp(prefix="qh_sneardup_")
+    try:
+        out = stream_near_dup_assign(
+            spark, src,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            out_dir=os.path.join(root, "out"),
+            max_files_per_trigger=2,
+        )
+        summary = out.agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum(F.col("joined_existing").cast("long")).alias("n_joined_existing"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        # materialize before the temp dirs vanish (executor-side blocks)
+        summary = summary.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return summary
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -682,6 +734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_clusters": q_clips_clusters,
     "clips_candidates": q_clips_candidates,
     "clips_containment": q_clips_containment,
+    "stream_neardup_assign": q_stream_neardup_assign,
 }
 
 _STOPWORD_ALT = "|".join(T.STOPWORDS)

@@ -20,9 +20,13 @@ Codecs — REAL, implemented from public format specs with stdlib+numpy:
 Compressed codecs needing external libraries (opus/mp3/flac) are
 registered as STUBS that raise ``NotImplementedError`` — the Spark-side
 plumbing (schema, batching, dispatch) is identical, only the byte->PCM
-kernel would differ on a cluster with codec libs installed.  The G.711
-tables are cross-validated against an independent implementation
-(stdlib ``audioop``) in tests/test_codecs.py.
+kernel would differ on a cluster with codec libs installed.
+
+G.711 and IMA ADPCM prefer stdlib ``audioop`` C kernels at runtime when
+available (Python <= 3.12; removed in 3.13 by PEP 594) with the
+pure-numpy spec kernels as the fallback — the same detect-and-swap shape
+as ``hashreg.resolve_native_kernels``.  Both paths are cross-validated
+bit-for-bit in tests/test_codecs.py.
 """
 
 from __future__ import annotations
@@ -33,9 +37,32 @@ import numpy as np
 
 from quichash_spark.config import MIX64, DedupConfig
 
+_LOG = __import__("logging").getLogger(__name__)
+
 PCM16_PADDED_HEADER = 64
 
 _U64 = np.uint64
+
+# Stdlib audioop (C kernels) backs the G.711 and IMA-ADPCM fast paths when
+# present — same detect-and-swap shape as hashreg.resolve_native_kernels.
+# audioop is REMOVED in Python 3.13 (PEP 594); the pure-numpy kernels
+# below are the spec implementations and the 3.13+ fallback, and
+# tests/test_codecs.py proves bit-equality between the two.
+try:
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        # the deprecation is the POINT of the gate — don't spam every import
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop as _audioop
+except ImportError:  # Python >= 3.13
+    _audioop = None
+    _LOG.warning(
+        "stdlib audioop unavailable (removed in Python 3.13): G.711/IMA-"
+        "ADPCM decode falls back to the pure-numpy spec kernels (the ADPCM "
+        "nibble loop is per-sample Python — fine for features, slow for "
+        "bulk decode)."
+    )
 
 
 def _decode_pcm16(data: bytes) -> np.ndarray:
@@ -82,12 +109,26 @@ _ULAW_TABLE = _build_ulaw_table()
 _ALAW_TABLE = _build_alaw_table()
 
 
-def _decode_mulaw(data: bytes) -> np.ndarray:
+def _decode_mulaw_pure(data: bytes) -> np.ndarray:
     return _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
 
 
-def _decode_alaw(data: bytes) -> np.ndarray:
+def _decode_alaw_pure(data: bytes) -> np.ndarray:
     return _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+
+
+def _decode_mulaw_audioop(data: bytes) -> np.ndarray:
+    # audioop emits native-endian int16; this stack is little-endian
+    # (test_g711_tables_match_audioop pins byte-for-byte agreement)
+    return np.frombuffer(_audioop.ulaw2lin(data, 2), dtype="<i2")
+
+
+def _decode_alaw_audioop(data: bytes) -> np.ndarray:
+    return np.frombuffer(_audioop.alaw2lin(data, 2), dtype="<i2")
+
+
+_decode_mulaw = _decode_mulaw_audioop if _audioop else _decode_mulaw_pure
+_decode_alaw = _decode_alaw_audioop if _audioop else _decode_alaw_pure
 
 
 # ---------------------------------------------------------------------------
@@ -127,22 +168,50 @@ def _ima_decode_nibbles(nibbles: np.ndarray, pred: int, idx: int) -> np.ndarray:
     return out
 
 
-def _decode_ima_adpcm(data: bytes) -> np.ndarray:
-    """Raw mono IMA ADPCM, WAV-block layout: 4-byte state header
-    (predictor int16 LE, step index uint8, reserved) whose predictor IS
-    the first output sample, then low-nibble-first 4-bit codes."""
+def _ima_parse_header(data: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV-block state header (predictor int16 LE, step index uint8,
+    reserved) + the nibble body as a uint8 view."""
     if len(data) < 4:
         raise ValueError("IMA ADPCM stream too short")
     pred = int(np.frombuffer(data[:2], dtype="<i2")[0])
     idx = data[2]  # int for bytes and memoryview alike
     if idx > 88:
         raise ValueError(f"IMA ADPCM step index {idx} out of range")
-    body = np.frombuffer(data, dtype=np.uint8, offset=4)
+    return pred, idx, np.frombuffer(data, dtype=np.uint8, offset=4)
+
+
+def _decode_ima_adpcm_pure(data: bytes) -> np.ndarray:
+    """Raw mono IMA ADPCM, WAV-block layout: the header predictor IS the
+    first output sample, then low-nibble-first 4-bit codes."""
+    pred, idx, body = _ima_parse_header(data)
     nibbles = np.empty(body.size * 2, dtype=np.uint8)
     nibbles[0::2] = body & 0x0F  # low nibble first (WAV convention)
     nibbles[1::2] = body >> 4
     samples = _ima_decode_nibbles(nibbles, pred, idx)
     return np.concatenate([np.array([pred], dtype=np.int16), samples])
+
+
+def _decode_ima_adpcm_audioop(data: bytes) -> np.ndarray:
+    """audioop-backed IMA ADPCM decode (C speed): audioop consumes the
+    HIGH nibble of each byte first, this stream is low-nibble-first, so
+    swap nibbles per byte (vectorized) and hand audioop our (pred, idx)
+    state.  Output-identical to the pure kernel — the per-nibble state
+    update is the same spec recurrence (test_ima_audioop_path_matches_pure
+    + test_ima_core_matches_audioop)."""
+    pred, idx, body = _ima_parse_header(data)
+    swapped = (((body & 0x0F) << 4) | (body >> 4)).tobytes()
+    samples = np.frombuffer(
+        _audioop.adpcm2lin(swapped, 2, (pred, idx))[0], dtype="<i2"
+    )
+    out = np.empty(samples.size + 1, dtype=np.int16)
+    out[0] = pred
+    out[1:] = samples
+    return out
+
+
+_decode_ima_adpcm = (
+    _decode_ima_adpcm_audioop if _audioop else _decode_ima_adpcm_pure
+)
 
 
 # ---------------------------------------------------------------------------

@@ -112,16 +112,26 @@ def image_features(items: DataFrame, id_col: str = "item_id",
                        "height": None, "mean_r": None, "mean_g": None,
                        "mean_b": None, "phash": None}
                 if dec is not None and data is not None:
-                    img = dec(bytes(data))  # stubs raise NotImplementedError
-                    row.update(
-                        decode_ok=True,
-                        width=int(img.shape[1]),
-                        height=int(img.shape[0]),
-                        mean_r=float(img[..., 0].mean()),
-                        mean_g=float(img[..., 1].mean()),
-                        mean_b=float(img[..., 2].mean()),
-                        phash=_phash8(img),
-                    )
+                    # malformed-input contract (same as audio.decode_pcm):
+                    # truncated/corrupt payloads (ValueError, struct.error,
+                    # zlib.error, CRC mismatch) yield decode_ok=False, never
+                    # a failed job; only the honest codec stubs re-raise
+                    try:
+                        img = dec(bytes(data))
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        img = None
+                    if img is not None:
+                        row.update(
+                            decode_ok=True,
+                            width=int(img.shape[1]),
+                            height=int(img.shape[0]),
+                            mean_r=float(img[..., 0].mean()),
+                            mean_g=float(img[..., 1].mean()),
+                            mean_b=float(img[..., 2].mean()),
+                            phash=_phash8(img),
+                        )
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 

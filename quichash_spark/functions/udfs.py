@@ -61,6 +61,122 @@ SLIM_SIGNATURE_SCHEMA = StructType(
 )
 
 
+def signature_record_batch(
+    rb, cfg: DedupConfig, a_params, b_params, include_minhash: bool = True
+):
+    """One input RecordBatch (clip_id, bytes, codec, transcript) -> one
+    signature RecordBatch.  THE signature kernel — shared verbatim by the
+    ``compute_signatures`` Spark stage and the no-JVM control in
+    ``jobs/emulate_executor.py --mode kernel`` (same compute, same memory
+    traffic, no Spark/JVM in the loop), so the process-isolation control
+    measures exactly the work the real stage does.
+
+    The per-row ``bytes`` cells are read as ZERO-COPY memoryviews straight
+    off the Arrow data buffer (offsets decoded once per batch), skipping
+    the pandas conversion that materializes every payload as a Python
+    bytes object on the way in and re-encodes arrays on the way out —
+    measured ~27% of the exchange cost at 4 workers.
+    """
+    import pyarrow as pa
+
+    schema = SIGNATURE_SCHEMA if include_minhash else SLIM_SIGNATURE_SCHEMA
+    n = rb.num_rows
+    bys = rb.column(1)
+    off = bys.offset
+    bufs = bys.buffers()
+    odt = np.int64 if pa.types.is_large_binary(bys.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt, count=off + n + 1)[off:]
+    data_mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    isnull = (
+        bys.is_null().to_numpy(zero_copy_only=False)
+        if bys.null_count
+        else None
+    )
+    codec_list = rb.column(2).to_pylist()
+    canons = [
+        " ".join(t.split()) if isinstance(t, str) else ""
+        for t in rb.column(3).to_pylist()
+    ]
+    pcms: list[np.ndarray | None] = [
+        None
+        if (isnull is not None and isnull[i])
+        else audio.decode_pcm(data_mv[offs[i]: offs[i + 1]], codec_list[i])
+        for i in range(n)
+    ]
+    # batched execution, output-identical to the row-at-a-time
+    # kernels (tests assert equality): decode per row (variable
+    # length), per-clip FFT, ONE multiply-reduceat per MinHash
+    # channel, ONE band-key fold.
+    words_list = audio.pcm_frame_bits_batch(pcms, cfg)
+    text_sets = [hashing.shingle_hashes(c, cfg.k_shingle) for c in canons]
+    pcm_sets = [
+        audio.shingles_from_words(w, cfg)
+        if p is not None
+        else np.empty(0, dtype=np.uint64)
+        for p, w in zip(pcms, words_list)
+    ]
+    mh_text = hashing.minhash_signature_batch(text_sets, a_params, b_params)
+    mh_pcm = hashing.minhash_signature_batch(pcm_sets, a_params, b_params)
+    # band keys precomputed here (vectorized numpy) so the LSH
+    # stage is a pure explode+shuffle — no per-row JVM hashing
+    # re-evaluated on every plan branch
+    bk_text = hashing.band_hashes_batch(mh_text, cfg.bands, cfg.rows)
+    bk_pcm = hashing.band_hashes_batch(mh_pcm, cfg.bands, cfg.rows)
+
+    def list_arr(mat: np.ndarray) -> "pa.ListArray":
+        # (n, w) uint64 -> list<int64> with zero-copy values
+        w = mat.shape[1] if mat.ndim == 2 else 0
+        flat = pa.array(
+            np.ascontiguousarray(mat).reshape(-1).view(np.int64)
+        )
+        offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, flat)
+
+    arrays = [
+        rb.column(0),  # clip_id passes through untouched
+        pa.array(
+            [
+                hashing.content_hash(p, c) if p is not None else None
+                for p, c in zip(pcms, canons)
+            ],
+            pa.string(),
+        ),
+        # pcm-only digest: lets verification decide
+        # identical-audio pairs without ever re-reading bytes
+        pa.array(
+            [
+                hashing.content_hash(p, "") if p is not None else None
+                for p in pcms
+            ],
+            pa.string(),
+        ),
+        *([list_arr(mh_text), list_arr(mh_pcm)] if include_minhash else []),
+        list_arr(bk_text),
+        list_arr(bk_pcm),
+        pa.array(
+            np.fromiter(
+                (hashing.simhash64_i64(c) for c in canons),
+                dtype=np.int64,
+                count=n,
+            )
+        ),
+        pa.array(
+            np.fromiter((w.size for w in words_list), np.int32, count=n)
+        ),
+        pa.array(
+            np.fromiter(
+                (p.size if p is not None else 0 for p in pcms),
+                np.int32,
+                count=n,
+            )
+        ),
+        pa.array(canons, pa.string()),
+        pa.array([p is not None for p in pcms], pa.bool_()),
+    ]
+    return pa.RecordBatch.from_arrays(
+        arrays, names=[f.name for f in schema.fields]
+    )
+
 def compute_signatures(
     clips: DataFrame, cfg: DedupConfig, include_minhash: bool = True
 ) -> DataFrame:
@@ -71,117 +187,17 @@ def compute_signatures(
     re-expressed as one Arrow batch through several numpy kernels).
     ``transcript`` is carried forward canonicalized (single-space joined)
     so downstream stages never re-read the big ``bytes`` column.
+
+    mapInArrow, not mapInPandas (zero-copy payload views — see
+    :func:`signature_record_batch`, the shared kernel).  Kernel calls and
+    outputs are bit-identical to the previous pandas path (tests assert
+    batch==scalar).
     """
     a_params, b_params = hashing.minhash_params(cfg)
 
     def batches(it):
-        import pyarrow as pa
-
         for rb in it:
-            # mapInArrow, not mapInPandas: the per-row ``bytes`` cells are
-            # read as ZERO-COPY memoryviews straight off the Arrow data
-            # buffer (offsets decoded once per batch), skipping the
-            # pandas conversion that materializes every payload as a
-            # Python bytes object on the way in and re-encodes arrays on
-            # the way out — measured ~27% of the exchange cost at 4
-            # workers.  Kernel calls and outputs are bit-identical to the
-            # previous pandas path (tests assert batch==scalar).
-            n = rb.num_rows
-            bys = rb.column(1)
-            off = bys.offset
-            bufs = bys.buffers()
-            odt = np.int64 if pa.types.is_large_binary(bys.type) else np.int32
-            offs = np.frombuffer(bufs[1], dtype=odt, count=off + n + 1)[off:]
-            data_mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-            isnull = (
-                bys.is_null().to_numpy(zero_copy_only=False)
-                if bys.null_count
-                else None
-            )
-            codec_list = rb.column(2).to_pylist()
-            canons = [
-                " ".join(t.split()) if isinstance(t, str) else ""
-                for t in rb.column(3).to_pylist()
-            ]
-            pcms: list[np.ndarray | None] = [
-                None
-                if (isnull is not None and isnull[i])
-                else audio.decode_pcm(data_mv[offs[i]: offs[i + 1]], codec_list[i])
-                for i in range(n)
-            ]
-            # batched execution, output-identical to the row-at-a-time
-            # kernels (tests assert equality): decode per row (variable
-            # length), per-clip FFT, ONE multiply-reduceat per MinHash
-            # channel, ONE band-key fold.
-            words_list = audio.pcm_frame_bits_batch(pcms, cfg)
-            text_sets = [hashing.shingle_hashes(c, cfg.k_shingle) for c in canons]
-            pcm_sets = [
-                audio.shingles_from_words(w, cfg)
-                if p is not None
-                else np.empty(0, dtype=np.uint64)
-                for p, w in zip(pcms, words_list)
-            ]
-            mh_text = hashing.minhash_signature_batch(text_sets, a_params, b_params)
-            mh_pcm = hashing.minhash_signature_batch(pcm_sets, a_params, b_params)
-            # band keys precomputed here (vectorized numpy) so the LSH
-            # stage is a pure explode+shuffle — no per-row JVM hashing
-            # re-evaluated on every plan branch
-            bk_text = hashing.band_hashes_batch(mh_text, cfg.bands, cfg.rows)
-            bk_pcm = hashing.band_hashes_batch(mh_pcm, cfg.bands, cfg.rows)
-
-            def list_arr(mat: np.ndarray) -> "pa.ListArray":
-                # (n, w) uint64 -> list<int64> with zero-copy values
-                w = mat.shape[1] if mat.ndim == 2 else 0
-                flat = pa.array(
-                    np.ascontiguousarray(mat).reshape(-1).view(np.int64)
-                )
-                offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
-                return pa.ListArray.from_arrays(offsets, flat)
-
-            arrays = [
-                rb.column(0),  # clip_id passes through untouched
-                pa.array(
-                    [
-                        hashing.content_hash(p, c) if p is not None else None
-                        for p, c in zip(pcms, canons)
-                    ],
-                    pa.string(),
-                ),
-                # pcm-only digest: lets verification decide
-                # identical-audio pairs without ever re-reading bytes
-                pa.array(
-                    [
-                        hashing.content_hash(p, "") if p is not None else None
-                        for p in pcms
-                    ],
-                    pa.string(),
-                ),
-                *([list_arr(mh_text), list_arr(mh_pcm)] if include_minhash else []),
-                list_arr(bk_text),
-                list_arr(bk_pcm),
-                pa.array(
-                    np.fromiter(
-                        (hashing.simhash64_i64(c) for c in canons),
-                        dtype=np.int64,
-                        count=n,
-                    )
-                ),
-                pa.array(
-                    np.fromiter((w.size for w in words_list), np.int32, count=n)
-                ),
-                pa.array(
-                    np.fromiter(
-                        (p.size if p is not None else 0 for p in pcms),
-                        np.int32,
-                        count=n,
-                    )
-                ),
-                pa.array(canons, pa.string()),
-                pa.array([p is not None for p in pcms], pa.bool_()),
-            ]
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=[f.name for f in schema.fields]
-            )
+            yield signature_record_batch(rb, cfg, a_params, b_params, include_minhash)
 
     schema = SIGNATURE_SCHEMA if include_minhash else SLIM_SIGNATURE_SCHEMA
     cols = ["clip_id", "bytes", "codec", "transcript"]

@@ -122,6 +122,22 @@ def _text_relation_cols(ta, tb, sh_a, sh_b, cfg: DedupConfig):
 #: broadcast hard limit (and far under typical driver heaps)
 BROADCAST_PAIR_LIMIT = 20_000_000
 
+#: DataFrames persisted by verify_candidates when it must size a
+#: non-checkpointed candidate input itself (``n_candidates is None``).
+#: Mirrors :func:`quichash_spark.operators.lsh.release_cached`: callers in
+#: a long-lived session call :func:`release_cached` after materializing
+#: the verified output, or cached candidate blocks accumulate run over
+#: run.  (Like lsh's, the module-global list assumes one pipeline at a
+#: time per session — concurrent pipelines should pass ``n_candidates``.)
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist candidate DataFrames cached by verify_candidates calls
+    that had to self-size their input (no ``n_candidates`` hint)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def verify_candidates(
     candidates: DataFrame,
@@ -138,7 +154,9 @@ def verify_candidates(
     ``n_candidates``: known candidate row count (the pipeline passes the
     checkpoint manifest's count).  Without it, ``candidates`` is persisted
     before the sizing ``count()`` so a non-checkpointed input computes its
-    DAG exactly once instead of once for sizing and again for the run.
+    DAG exactly once instead of once for sizing and again for the run —
+    long-lived sessions should call :func:`release_cached` once the
+    verified output is materialized (see ``_PERSISTED``).
     """
     if signatures is None:
         from quichash_spark.functions.udfs import compute_signatures
@@ -146,6 +164,7 @@ def verify_candidates(
         signatures = compute_signatures(clips, cfg)
     if n_candidates is None:
         candidates = candidates.persist()
+        _PERSISTED.append(candidates)
         n_candidates = candidates.count()
     lite = signatures.select("clip_id", "pcm_hash", "simhash", "transcript")
     p = candidates.join(

@@ -218,6 +218,39 @@ def test_image_features_with_real_png(spark):
     assert len(got["phash"]) == 64
 
 
+def test_image_features_malformed_payload_not_fatal(spark):
+    """Malformed-input contract (ADVICE r3): truncated/corrupt payloads
+    must yield decode_ok=False rows, not fail the Spark job — decode_png
+    raises ValueError/zlib.error/CRC mismatch by design and the kernel
+    must absorb those like the audio path does."""
+    from pyspark.sql import Row
+
+    from quichash_spark.functions import multimodal as M
+
+    good = encode_png(np.full((4, 4, 3), 9, dtype=np.uint8))
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # CRC mismatch
+    df = spark.createDataFrame(
+        [
+            Row(item_id="trunc", payload=good[: len(good) // 2], codec="png"),
+            Row(item_id="crc", payload=bytes(corrupt), codec="png"),
+            Row(item_id="garbage", payload=b"not a bmp", codec="bmp"),
+            Row(item_id="ok", payload=good, codec="png"),
+        ]
+    )
+    rows = {r["item_id"]: r for r in M.image_features(df).collect()}
+    assert not rows["trunc"]["decode_ok"]
+    assert not rows["crc"]["decode_ok"]
+    assert not rows["garbage"]["decode_ok"]
+    assert rows["ok"]["decode_ok"] and rows["ok"]["width"] == 4
+    # honest stubs still surface loudly, not as silent decode failures
+    import pytest as _pytest
+
+    stub_df = spark.createDataFrame([Row(item_id="j", payload=b"x", codec="webp")])
+    with _pytest.raises(Exception, match="NotImplementedError|webp"):
+        M.image_features(stub_df).collect()
+
+
 # ---------------------------------------------------------------------------
 # IMA ADPCM
 # ---------------------------------------------------------------------------
@@ -240,6 +273,51 @@ def test_ima_core_matches_audioop():
     nibbles[1::2] = body & 0x0F
     got = _ima_decode_nibbles(nibbles, 0, 0)
     assert np.array_equal(got, expect)
+
+
+def test_audioop_fast_path_engaged_on_pre313():
+    """VERDICT r3 #3: on Python <= 3.12 the registered G.711/ADPCM
+    decoders must BE the audioop-backed (C) kernels, not the numpy/pure
+    fallbacks — the same auto-swap contract hashreg has for wheels."""
+    pytest.importorskip("audioop")
+    assert audio.CODECS["mulaw"] is audio._decode_mulaw_audioop
+    assert audio.CODECS["alaw"] is audio._decode_alaw_audioop
+    assert audio.CODECS["ima_adpcm"] is audio._decode_ima_adpcm_audioop
+
+
+def test_ima_audioop_path_matches_pure_and_is_faster():
+    """Bit-equality of the audioop ADPCM path vs the pure spec kernel on
+    a random stream (arbitrary initial state), and a throughput check
+    that the C path actually engaged — the pure loop is one Python
+    iteration per 4-bit code, so even a 3x margin is a loose bound."""
+    import time
+
+    pytest.importorskip("audioop")
+    rng = np.random.default_rng(23)
+    body = rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+    stream = np.array([-777], dtype="<i2").tobytes() + bytes([37, 0]) + body
+    expect = audio._decode_ima_adpcm_pure(stream)
+    got = audio._decode_ima_adpcm_audioop(stream)
+    assert np.array_equal(got, expect)
+
+    t0 = time.perf_counter()
+    audio._decode_ima_adpcm_audioop(stream)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    audio._decode_ima_adpcm_pure(stream)
+    t_pure = time.perf_counter() - t0
+    assert t_pure > 3 * t_native, (t_pure, t_native)
+
+
+def test_g711_audioop_path_matches_pure():
+    pytest.importorskip("audioop")
+    all_bytes = bytes(range(256)) * 3
+    assert np.array_equal(
+        audio._decode_mulaw_audioop(all_bytes), audio._decode_mulaw_pure(all_bytes)
+    )
+    assert np.array_equal(
+        audio._decode_alaw_audioop(all_bytes), audio._decode_alaw_pure(all_bytes)
+    )
 
 
 def test_ima_adpcm_stream_decode():

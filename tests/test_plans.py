@@ -77,3 +77,29 @@ def test_scan_agg_stays_in_codegen(spark):
         .agg(F.sum("l_quantity"))
     )
     assert codegen_stage_count(q) >= 1
+
+
+def test_ann_plan_build_submits_no_probe_job(spark):
+    """VERDICT r3 #6: building the ANN query's plan must not run a Spark
+    job beyond the parquet read's own schema-inference job (which every
+    query pays) — the embedding dim is a fixture constant
+    (EMBEDDING_DIM), not a .first() probe at plan-build time."""
+    from quichash_spark.entry_queries import QUERIES
+
+    sc = spark.sparkContext
+
+    def n_jobs() -> int:
+        return len(sc.statusTracker().getJobIdsForGroup(None))
+
+    before = n_jobs()
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    read_jobs = n_jobs() - before  # schema-inference cost of a bare read
+
+    before = n_jobs()
+    df = QUERIES["sim_ann_lsh"](spark, SF_DIR)
+    ann_jobs = n_jobs() - before
+    assert ann_jobs <= read_jobs, (
+        f"ANN plan build submitted {ann_jobs - read_jobs} extra job(s) "
+        "beyond the bare parquet read"
+    )
+    assert df.count() > 0  # the plan still runs

@@ -20,6 +20,33 @@ def test_human_size():
     assert human_size(3 * 1024**4) == "3.00 TB"
 
 
+def test_human_size_col_exact_past_double_precision(spark):
+    """ADVICE r3: _human_size_col must use TRUE integer division — double
+    division diverges from the oracle's `//` once 200*n exceeds 2^53
+    (~45 TB wasted, reachable at the 100 TB design point).  Pin Spark
+    output against pure-Python int arithmetic well past that line."""
+    from quichash_spark.entry_queries import _human_size_col
+
+    vals = [512, 2048, 5 * 1024**3,
+            45 * 1024**4 + 7,              # right at the ~45 TB hazard line
+            100 * 1024**4 + 12345,         # the 100 TB design point
+            (2**63 - 1 - 2**30) // 200]    # ~46 PB: largest in-domain value
+                                           # (200*n must stay inside long)
+    df = spark.createDataFrame([(v,) for v in vals], "n: long")
+    got = {r["n"]: r["h"] for r in
+           df.select("n", _human_size_col(F.col("n")).alias("h")).collect()}
+
+    def expect(n: int) -> str:
+        for base, unit in ((1024**3, "GB"), (1024**2, "MB"), (1024, "KB")):
+            if n >= base:
+                centi = (n * 200 + base) // (2 * base)
+                return f"{centi // 100}.{centi % 100:02d} {unit}"
+        return f"{n} B"
+
+    for v in vals:
+        assert got[v] == expect(v), (v, got[v], expect(v))
+
+
 def test_dedup_report_and_json_sink(spark, tiny_clips, tmp_path):
     from quichash_spark.config import CLIPS_CONFIG
     from quichash_spark.functions.udfs import compute_signatures
