@@ -2,14 +2,14 @@
 processed by Arrow-batched kernels.
 
 Audio is the fully-real modality in this engine (see
-:mod:`quichash_spark.functions.audio` — pcm/wav/G.711 real, opus/mp3/
-flac stubbed).  Images follow the identical pattern — ``binary`` payload
-column + metadata struct + ``mapInPandas`` kernel — with REAL png/bmp
-decoders (:mod:`quichash_spark.functions.imaging`, public specs over
-stdlib zlib + numpy) plus the deterministic fake codec; only the
-entropy-coded formats (jpeg/webp) raise ``NotImplementedError``, so the
-Spark-side plumbing is fully real and the remaining kernels are
-swappable on a cluster with imaging wheels.
+:mod:`quichash_spark.functions.audio` — pcm/wav/G.711/ADPCM real,
+opus/mp3/flac stubbed).  Images follow the identical pattern —
+``binary`` payload column + metadata struct + ``mapInPandas`` kernel —
+with REAL png/bmp/jpeg decoders (:mod:`quichash_spark.functions.imaging`
+and :mod:`~.jpeg`, public specs over stdlib + numpy) plus the
+deterministic fake codec; only webp (VP8 entropy coder) still raises
+``NotImplementedError``, so the Spark-side plumbing is fully real and
+the remaining kernel is swappable on a cluster with imaging wheels.
 
 Fake codec ``raw_rgb8``: header ``width:int32 | height:int32`` followed by
 ``width*height*3`` bytes — decodable with numpy alone, exercising the full
@@ -55,14 +55,17 @@ def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
 
 
 from quichash_spark.functions.imaging import decode_bmp, decode_png  # noqa: E402
+from quichash_spark.functions.jpeg import decode_jpeg  # noqa: E402
 
 IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "raw_rgb8": _decode_raw_rgb8,
-    # REAL decoders (public specs, stdlib zlib + numpy — functions/imaging.py)
+    # REAL decoders (public specs, stdlib + numpy — functions/imaging.py
+    # for PNG/BMP, functions/jpeg.py for baseline JPEG incl. its own
+    # Huffman entropy decode + iDCT)
     "png": decode_png,
     "bmp": decode_bmp,
-    # entropy-coded formats needing external libraries stay stubbed
-    "jpeg": _stub("jpeg"),
+    "jpeg": decode_jpeg,
+    # webp's VP8 entropy coder still needs an external library
     "webp": _stub("webp"),
 }
 

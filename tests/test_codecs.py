@@ -16,7 +16,12 @@ import numpy as np
 import pytest
 
 from quichash_spark.functions import audio
-from quichash_spark.functions.imaging import decode_bmp, decode_png, encode_png
+from quichash_spark.functions.imaging import (
+    decode_bmp,
+    decode_png,
+    decode_png_pure,
+    encode_png,
+)
 
 # ---------------------------------------------------------------------------
 # G.711
@@ -147,7 +152,7 @@ def test_png_all_filter_types_reconstruct_per_spec():
         # Paeth row: a=left, b=up, c=up-left
         + b"\x04" + bytes([1, 1, 1])
     )
-    img = decode_png(_png_from_rows(3, 5, 0, rows))[..., 0]
+    img = decode_png_pure(_png_from_rows(3, 5, 0, rows))[..., 0]
     assert list(img[0]) == [10, 20, 30]
     assert list(img[1]) == [5, 10, 4]
     assert list(img[2]) == [6, 12, 7]
@@ -166,13 +171,13 @@ def test_png_crc_mismatch_rejected():
     data = bytearray(encode_png(img))
     data[40] ^= 0xFF  # flip a byte inside a chunk body
     with pytest.raises(ValueError, match="CRC|PNG"):
-        decode_png(bytes(data))
+        decode_png_pure(bytes(data))
 
 
 def test_png_rgba_alpha_dropped():
     # hand-build a 1x2 RGBA image, filter 0
     raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0])
-    img = decode_png(_png_from_rows(2, 1, 6, raw))
+    img = decode_png_pure(_png_from_rows(2, 1, 6, raw))
     assert img.shape == (1, 2, 3)
     assert list(img[0, 0]) == [1, 2, 3] and list(img[0, 1]) == [4, 5, 6]
 
@@ -335,3 +340,111 @@ def test_ima_adpcm_stream_decode():
     # malformed: too short / bad index -> surfaced, not fatal
     assert audio.decode_pcm(b"\x00\x00", "ima_adpcm") is None
     assert audio.decode_pcm(b"\x00\x00\x7f\x00\x11", "ima_adpcm") is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_idct_matches_direct_spec_formula():
+    """The batched einsum iDCT must agree with the direct O(n^4) T.81
+    A.3.3 reconstruction formula on random coefficient blocks."""
+    from quichash_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(5)
+    coeffs = rng.integers(-512, 512, (4, 8, 8)).astype(np.float64)
+
+    def alpha(u):
+        return np.sqrt(1 / 8) if u == 0 else 0.5
+
+    direct = np.zeros_like(coeffs)
+    for n in range(4):
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (alpha(u) * alpha(v) * coeffs[n, u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                direct[n, x, y] = s
+    got = J._idct2_batch(coeffs)
+    assert np.allclose(got, direct, atol=1e-9)
+
+
+def test_jpeg_roundtrip_flat_quant_near_exact():
+    """Flat quant table of 1 makes encode->decode lossless up to DCT
+    float rounding: max abs error <= 2 across RGB and grayscale."""
+    from quichash_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, qtable=1))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+    gray = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    outg = decode_jpeg(encode_jpeg(gray, qtable=1))
+    assert outg.shape == (8, 8, 3)
+    assert int(np.abs(outg[..., 0].astype(int) - gray.astype(int)).max()) <= 1
+    assert np.array_equal(outg[..., 0], outg[..., 1])
+
+
+def test_jpeg_constant_block_golden():
+    """Hand-derived golden: a constant-gray 8x8 image has exactly one
+    nonzero coefficient, DC = 8*(v-128); the decoder must reproduce the
+    constant exactly (cos terms vanish, no rounding error)."""
+    from quichash_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 77, 128, 200, 255):
+        img = np.full((8, 8), v, dtype=np.uint8)
+        data = encode_jpeg(img, qtable=1)
+        out = decode_jpeg(data)
+        assert np.all(out == v), (v, np.unique(out))
+
+
+def test_jpeg_lossy_quant_still_close():
+    """A realistic (non-flat) quant table stays visually faithful on a
+    smooth gradient: mean abs error small, no structural failure."""
+    from quichash_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 32)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    img3 = np.repeat(img[..., None], 3, axis=2)
+    out = decode_jpeg(encode_jpeg(img3, qtable=8))
+    err = np.abs(out.astype(int) - img3.astype(int))
+    assert err.mean() < 4 and err.max() < 40
+
+
+def test_jpeg_malformed_and_unsupported_rejected():
+    from quichash_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip SOF0 marker to SOF2 (progressive) -> explicit unsupported error
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    # truncated scan -> surfaced via decode_ok=False upstream, here raises
+    full = encode_jpeg(np.full((16, 16), 9, dtype=np.uint8))
+    with pytest.raises(Exception):
+        decode_jpeg(full[: len(full) - 12])
+
+
+def test_jpeg_through_image_features(spark):
+    from pyspark.sql import Row
+
+    from quichash_spark.functions import multimodal as M
+    from quichash_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(item_id="j", payload=encode_jpeg(img, qtable=1), codec="jpeg")]
+    )
+    got = M.image_features(df).collect()[0]
+    assert got["decode_ok"] and got["width"] == 16 and got["height"] == 16
+    assert abs(got["mean_r"] - float(img[..., 0].mean())) < 1.0

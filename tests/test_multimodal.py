@@ -32,9 +32,13 @@ def test_image_features_pipeline(spark):
 
 
 def test_stub_codecs_raise(spark):
-    df = spark.createDataFrame([Row(item_id="j", payload=b"\xff\xd8", codec="jpeg")])
+    # webp is the one remaining honest stub (jpeg is real since r4)
+    df = spark.createDataFrame([Row(item_id="w", payload=b"RIFF", codec="webp")])
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         M.image_features(df).collect()
+    # a truncated jpeg is a MALFORMED input now, not a stub: decode_ok=False
+    df2 = spark.createDataFrame([Row(item_id="j", payload=b"\xff\xd8", codec="jpeg")])
+    assert M.image_features(df2).collect()[0]["decode_ok"] is False
 
 
 def test_phash_similarity_property():
