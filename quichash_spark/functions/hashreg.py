@@ -23,7 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from quichash_spark.functions.blake3_pure import blake3_hex
+from quichash_spark.functions.blake3_pure import blake3_hex, blake3_hex_batch
 from quichash_spark.functions.xxh3_pure import xxh3_64_hex, xxh3_128_hex
 
 _LOG = __import__("logging").getLogger(__name__)
@@ -32,11 +32,11 @@ _LOG = __import__("logging").getLogger(__name__)
 def resolve_native_kernels(warn: bool = True) -> dict[str, Callable[[bytes], str]]:
     """Prefer wheel-backed C kernels when installed (``blake3``,
     ``xxhash``); fall back to the spec-implemented pure-Python kernels
-    with one log line per missing wheel.  The pure kernels close the
-    reference's 15-algorithm catalog correctly but run at interpreter
-    speed — anyone selecting blake3 (the reference's *default* dedup
-    algorithm, src/dedup.rs:279-282) for bulk hashing should see the
-    fallback happen, not discover it in a profile."""
+    with one log line per missing wheel.  Without the wheel, blake3 (the
+    reference's *default* dedup algorithm, src/dedup.rs:279-282) runs
+    the numpy-vectorized batch kernel at the UDF layer (~50 MB/s/core —
+    see ``blake3_pure.blake3_hex_batch``); xxh3/xxh128 remain
+    interpreter-speed catalog closure (JVM xxh64 is the fast path)."""
     kernels: dict[str, Callable[[bytes], str]] = {}
     try:
         import blake3 as _b3  # type: ignore[import-not-found]
@@ -45,9 +45,10 @@ def resolve_native_kernels(warn: bool = True) -> dict[str, Callable[[bytes], str
     except ImportError:
         if warn:
             _LOG.warning(
-                "blake3 wheel not installed: using the pure-Python spec "
-                "kernel (~MB/s). Install `blake3` on the cluster for bulk "
-                "hashing, or use the JVM-native sha256/xxh64 algorithms."
+                "blake3 wheel not installed: using the numpy-vectorized "
+                "spec kernel (~50 MB/s/core). Install `blake3` on the "
+                "cluster for GB/s bulk hashing, or use the JVM-native "
+                "sha256/xxh64 algorithms."
             )
         kernels["blake3"] = blake3_hex
     try:
@@ -100,6 +101,26 @@ def _pure_udf(fn: Callable[[bytes], str]) -> Callable[[Column], Column]:
     return lambda col: _h(col)
 
 
+def _batch_udf(fn_batch: Callable[[list[bytes]], list[str]]) -> Callable[[Column], Column]:
+    """Wrapper for WHOLE-BATCH kernels (one call per Arrow batch, the
+    kernel vectorizes internally across rows — blake3_hex_batch)."""
+
+    @F.pandas_udf(StringType())
+    def _h(s: pd.Series) -> pd.Series:
+        vals = [
+            v if isinstance(v, bytes) else (None if v is None else str(v).encode("utf-8"))
+            for v in s
+        ]
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        hexes = fn_batch([vals[i] for i in idx])
+        out: list[str | None] = [None] * len(vals)
+        for i, h in zip(idx, hexes):
+            out[i] = h
+        return pd.Series(out, dtype=object)
+
+    return lambda col: _h(col)
+
+
 #: algorithm name -> (Column -> hex-string Column).  JVM-native entries
 #: marked; the reference's full catalog is covered (src/hash.rs:346-439).
 HASH_REGISTRY: dict[str, Callable[[Column], Column]] = {
@@ -119,11 +140,15 @@ HASH_REGISTRY: dict[str, Callable[[Column], Column]] = {
     "sha3-512": _hashlib_udf("sha3_512"),
     "blake2b": _hashlib_udf("blake2b"),
     "blake2s": _hashlib_udf("blake2s"),
-    # spec-implemented pure-Python kernels (see module docstrings for the
+    # spec-implemented kernels (see module docstrings for the
     # published-vector validation status); the reference's default dedup
     # algorithm is blake3 (src/dedup.rs:279-282), xxh3/xxh128 mirror its
-    # xxhash-rust wrappers (src/hash.rs:276-338)
-    "blake3": _pure_udf(_NATIVE["blake3"]),
+    # xxhash-rust wrappers (src/hash.rs:276-338).  Wheel-less blake3 uses
+    # the numpy-vectorized whole-batch kernel (~50 MB/s/core vs ~1-3 for
+    # the scalar spec transcription); a wheel still wins and auto-swaps.
+    "blake3": (_pure_udf(_NATIVE["blake3"])
+               if _NATIVE["blake3"] is not blake3_hex
+               else _batch_udf(blake3_hex_batch)),
     "xxh3": _pure_udf(_NATIVE["xxh3"]),
     "xxh128": _pure_udf(_NATIVE["xxh128"]),
 }

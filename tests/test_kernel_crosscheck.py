@@ -219,3 +219,43 @@ def test_xxh3_long_path_scalar_equals_numpy(n):
     hx = x3.xxh3_128_hex(data)
     lo, hi = xxh3_128_numpy(data)
     assert hx == f"{hi:016x}{lo:016x}", n
+
+
+# ---------------------------------------------------------------------------
+# numpy-vectorized batch kernel vs the scalar spec kernel
+# ---------------------------------------------------------------------------
+
+
+def test_blake3_batch_kernel_equals_scalar_at_boundaries():
+    """blake3_hex_batch (numpy lanes across rows x chunks) must be
+    bit-identical to the scalar kernel at every block/chunk/tree
+    boundary, mixed lengths in one batch, including empty and None-free
+    short rows that take the scalar fast path."""
+    from quichash_spark.functions.blake3_pure import blake3_hex, blake3_hex_batch
+
+    lens = [0, 1, 63, 64, 65, 1023, 1024, 1025, 2047, 2048, 2049, 3072,
+            3073, 4096, 4097, 5120, 5121, 8192, 10000, 31744, 65536, 100000]
+    datas = [pattern(n) for n in lens]
+    got = blake3_hex_batch(datas)
+    for n, d, g in zip(lens, datas, got):
+        assert g == blake3_hex(d), n
+
+
+def test_blake3_batch_udf_through_registry(spark):
+    """The registry's blake3 column (whole-batch UDF when no wheel) must
+    agree with the scalar kernel and preserve nulls."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from quichash_spark.functions.blake3_pure import blake3_hex
+    from quichash_spark.functions.hashreg import hash_column
+
+    rows = [Row(id=i, buf=pattern(n)) for i, n in
+            enumerate([0, 100, 1024, 2049, 5000])]
+    rows.append(Row(id=99, buf=None))
+    df = spark.createDataFrame(rows)
+    got = {r["id"]: r["h"] for r in
+           df.select("id", hash_column(F.col("buf"), "blake3").alias("h")).collect()}
+    for r in rows:
+        expect = blake3_hex(r.buf) if r.buf is not None else None
+        assert got[r.id] == expect, r.id
