@@ -84,5 +84,6 @@ def test_every_query_has_callable_and_oracle_coverage():
     rows_only = set(qs) - set(sqls)
     for name in rows_only:
         assert name.startswith(
-            ("clips_", "dedup_simhash", "sim_ann", "sim_ivf", "doc_winnow")
+            ("clips_", "dedup_simhash", "sim_ann", "sim_ivf", "doc_winnow",
+             "stream_")
         ), name

@@ -259,3 +259,23 @@ def test_blake3_batch_udf_through_registry(spark):
     for r in rows:
         expect = blake3_hex(r.buf) if r.buf is not None else None
         assert got[r.id] == expect, r.id
+
+
+def test_xxh3_numpy_accumulator_equals_scalar_at_boundaries():
+    """The vectorized long-input accumulator (production path) must be
+    bit-identical to the scalar spec transcription at every block/stripe
+    boundary, including the <2-block lengths that take the scalar
+    fallback."""
+    from quichash_spark.functions.xxh3_pure import (
+        _hash_long_accs,
+        _hash_long_accs_scalar,
+        xxh3_64_hex,
+        xxh3_128_hex,
+    )
+
+    for n in [241, 500, 1023, 1024, 1025, 2047, 2048, 2049, 3072, 4096,
+              5000, 16384, 16385, 65536, 100000]:
+        d = pattern(n)
+        assert _hash_long_accs(d) == _hash_long_accs_scalar(d), n
+        # full digests flow through the same accs
+        assert len(xxh3_64_hex(d)) == 16 and len(xxh3_128_hex(d)) == 32
