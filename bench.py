@@ -292,17 +292,16 @@ def hash_microbench(row_kb: int = 64) -> dict:
     from quichash_spark.session import get_spark, stop_spark
 
     tiers = {  # algorithm class -> corpus MB
-        "jvm": 256, "hashlib": 128, "purevec": 32, "pure": 2,
+        "jvm": 256, "hashlib": 128, "purevec": 32,
     }
     algo_tier = {
         **{a: "jvm" for a in ("md5", "sha1", "sha256", "sha224", "sha384",
                               "sha512", "crc32", "xxh64")},
         **{a: "hashlib" for a in ("sha3-224", "sha3-256", "sha3-384",
                                   "sha3-512", "blake2b", "blake2s")},
-        # blake3's numpy-vectorized batch kernel sustains ~50 MB/s/core —
-        # its own tier so the timed region is not noise-dominated
-        "blake3": "purevec",
-        **{a: "pure" for a in ("xxh3", "xxh128")},
+        # numpy-vectorized spec kernels (~50-90 MB/s/core): big enough
+        # corpus that the timed region is not noise-dominated
+        **{a: "purevec" for a in ("blake3", "xxh3", "xxh128")},
     }
     cores = 8
     stop_spark()
@@ -330,7 +329,7 @@ def hash_microbench(row_kb: int = 64) -> dict:
 
         by_tier: dict[str, list[str]] = {}
         for algo in sorted(HASH_REGISTRY):
-            by_tier.setdefault(algo_tier.get(algo, "pure"), []).append(algo)
+            by_tier.setdefault(algo_tier.get(algo, "purevec"), []).append(algo)
         for tier, algos in by_tier.items():
             # corpus cached once per tier: the timed region measures the
             # hash kernel, not row generation
@@ -341,7 +340,7 @@ def hash_microbench(row_kb: int = 64) -> dict:
                 expr = HASH_REGISTRY[algo](F.col("buf"))
                 df.limit(cores).select(F.length(expr)).collect()  # warm kernel
                 wall = float("inf")
-                for _ in range(2 if tier == "pure" else 3):  # best-of: sub-second
+                for _ in range(3):  # best-of: sub-second walls are scheduler-noisy
                     t0 = time.monotonic()  # walls are scheduler-noisy
                     df.select(F.sum(F.length(expr))).collect()
                     wall = min(wall, time.monotonic() - t0)
