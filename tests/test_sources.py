@@ -179,3 +179,27 @@ def test_hashdeep_dir_read_uses_header_banner(spark, tmp_path):
     hashdb.write_hashdeep(df, path, algorithms=["blake3"])
     rows = hashdb.read_hashdeep(spark, path).collect()
     assert rows[0]["algorithm"] == "blake3"
+
+
+def test_pyfiles_zip_is_fresh():
+    """quichash_spark.zip is the spark-submit --py-files artifact
+    (jobs/run_pipeline.py); a stale zip ships old code to executors, so
+    every module in the package tree must be present with identical
+    bytes."""
+    import pathlib
+    import zipfile
+
+    import pytest
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    zp = root / "quichash_spark.zip"
+    if not zp.exists():  # untracked build artifact (see jobs/run_pipeline.py)
+        pytest.skip("quichash_spark.zip not built")
+    zf = zipfile.ZipFile(zp)
+    names = set(zf.namelist())
+    for py in (root / "quichash_spark").rglob("*.py"):
+        if "__pycache__" in py.parts:
+            continue
+        rel = py.relative_to(root).as_posix()
+        assert rel in names, f"{rel} missing from quichash_spark.zip"
+        assert zf.read(rel) == py.read_bytes(), f"{rel} stale in zip"
