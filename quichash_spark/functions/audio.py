@@ -17,7 +17,12 @@ Codecs — REAL, implemented from public format specs with stdlib+numpy:
 - ``ima_adpcm``    raw mono IMA/DVI ADPCM (WAV-block state header +
                    low-nibble-first 4-bit codes)
 
-Compressed codecs needing external libraries (opus/mp3/flac) are
+- ``flac``         REAL lossless decoder from the public spec
+                   (:mod:`quichash_spark.functions.flac`): Rice
+                   residuals, fixed + LPC prediction, all four stereo
+                   decorrelation modes, frame CRCs verified
+
+Only the LOSSY codecs needing DSP libraries (opus/mp3) remain
 registered as STUBS that raise ``NotImplementedError`` — the Spark-side
 plumbing (schema, batching, dispatch) is identical, only the byte->PCM
 kernel would differ on a cluster with codec libs installed.
@@ -281,6 +286,8 @@ def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
     return _raise
 
 
+from quichash_spark.functions.flac import decode_flac  # noqa: E402
+
 #: codec name -> bytes->int16-PCM decoder. The registry mirrors
 #: quichash's HashRegistry::get_hasher (src/hash.rs:320-343).
 CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
@@ -290,9 +297,12 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "mulaw": _decode_mulaw,
     "alaw": _decode_alaw,
     "ima_adpcm": _decode_ima_adpcm,
+    # REAL lossless decoder from the public spec (functions/flac.py):
+    # Rice residuals, fixed+LPC prediction, all stereo modes, CRC-checked
+    "flac": decode_flac,
+    # lossy codecs needing DSP libraries stay honestly stubbed
     "opus": _stub("opus"),
     "mp3": _stub("mp3"),
-    "flac": _stub("flac"),
 }
 
 

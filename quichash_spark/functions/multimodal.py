@@ -2,8 +2,8 @@
 processed by Arrow-batched kernels.
 
 Audio is the fully-real modality in this engine (see
-:mod:`quichash_spark.functions.audio` — pcm/wav/G.711/ADPCM real,
-opus/mp3/flac stubbed).  Images follow the identical pattern —
+:mod:`quichash_spark.functions.audio` — pcm/wav/G.711/ADPCM/FLAC real,
+only lossy opus/mp3 stubbed).  Images follow the identical pattern —
 ``binary`` payload column + metadata struct + ``mapInPandas`` kernel —
 with REAL png/bmp/jpeg decoders (:mod:`quichash_spark.functions.imaging`
 and :mod:`~.jpeg`, public specs over stdlib + numpy) plus the

@@ -448,3 +448,176 @@ def test_jpeg_through_image_features(spark):
     got = M.image_features(df).collect()[0]
     assert got["decode_ok"] and got["width"] == 16 and got["height"] == 16
     assert abs(got["mean_r"] - float(img[..., 0].mean())) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# FLAC (functions/flac.py)
+# ---------------------------------------------------------------------------
+
+
+def _flac():
+    from quichash_spark.functions import flac as F
+
+    return F
+
+
+def test_flac_verbatim_and_constant_roundtrip():
+    F = _flac()
+    rng = np.random.default_rng(3)
+    pcm = (rng.normal(0, 3000, 10000)).astype(np.int16)
+    assert np.array_equal(F.decode_flac(F.encode_flac(pcm, blocksize=4096)), pcm)
+    c = np.full(600, -123, dtype=np.int16)
+    out = F.decode_flac(F.encode_flac(c, blocksize=200, subframe="constant"))
+    assert np.array_equal(out, c)
+
+
+def test_flac_fixed_orders_rice_roundtrip():
+    """Every fixed-predictor order 0-4 with real Rice-coded residuals:
+    lossless round trip AND actual compression on a smooth signal."""
+    F = _flac()
+    t = np.arange(8000)
+    smooth = (2000 * np.sin(t / 50) + 500 * np.sin(t / 7)).astype(np.int16)
+    for order in range(5):
+        data = F.encode_flac(smooth, blocksize=1000, subframe="fixed",
+                             fixed_order=order)
+        assert np.array_equal(F.decode_flac(data), smooth), order
+    assert len(data) < smooth.size * 2 // 3  # order-4 genuinely compresses
+
+
+def test_flac_all_stereo_decorrelation_modes():
+    """left/side, right/side, mid/side (incl. the 17-bit side channel and
+    the mid LSB restore) must all reconstruct; output downmix matches the
+    WAV path's integer mean."""
+    F = _flac()
+    rng = np.random.default_rng(5)
+    st = (rng.normal(0, 3000, (5000, 2))).astype(np.int16)
+    expect = ((st[:, 0].astype(np.int64) + st[:, 1]) // 2).astype(np.int16)
+    for mode in ("indep", "left-side", "right-side", "mid-side"):
+        got = F.decode_flac(F.encode_flac(st, blocksize=1000, stereo_mode=mode))
+        assert np.array_equal(got, expect), mode
+
+
+def test_flac_lpc_subframe_hand_crafted():
+    """LPC path: hand-build a frame whose subframe is order-2 LPC with
+    known coefficients and shift; expected samples derived by running the
+    spec recurrence sample = residual + ((c0*s[-1] + c1*s[-2]) >> shift)
+    independently in the test."""
+    F = _flac()
+    coefs, shift, warmup = [3, -1], 1, [100, 120]
+    residual = [5, -3, 7, 0, -2, 4]
+    expect = list(warmup)
+    for r in residual:
+        pred = (coefs[0] * expect[-1] + coefs[1] * expect[-2]) >> shift
+        expect.append(r + pred)
+
+    bw = F._BitWriter()
+    bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+    bw.write(7, 4); bw.write(13, 4); bw.write(0, 4); bw.write(4, 3)
+    bw.write(0, 1); bw.write(0, 8)                 # frame number 0
+    bw.write(len(expect) - 1, 16); bw.write(8000, 16)
+    bw.write(F._crc8(bytes(bw.out)), 8)
+    bw.write(0, 1)
+    bw.write(32 + (2 - 1), 6)                      # LPC, order 2
+    bw.write(0, 1)                                 # no wasted bits
+    for s in warmup:
+        bw.write(s, 16)
+    bw.write(15 - 1, 4)                            # precision 15
+    bw.write(shift, 5)
+    for c in coefs:
+        bw.write(c, 15)
+    bw.write(0, 2); bw.write(0, 4)                 # RICE, 1 partition
+    bw.write(3, 4)                                 # rice param 3
+    for r in residual:
+        zz = F._zigzag_encode(r)
+        bw.write_unary(zz >> 3)
+        bw.write(zz & 7, 3)
+    bw.align()
+    frame = bytes(bw.out)
+
+    si = bytearray(34)
+    si[10:18] = ((8000 << 44) | (15 << 36) | len(expect)).to_bytes(8, "big")
+    stream = (F.FLAC_MAGIC + bytes([0x80]) + len(si).to_bytes(3, "big")
+              + bytes(si) + frame + struct.pack(">H", F._crc16(frame)))
+    assert list(F.decode_flac(stream)) == expect
+
+
+def test_flac_escape_partition_and_wasted_bits():
+    """Raw-bits escape partitions (param 0b1111 -> 5-bit count + raw
+    residuals) and the wasted-bits shift path."""
+    F = _flac()
+    samples = [40, -52, 12, -8]  # all even: one wasted bit
+
+    def frame_with(body_writer) -> bytes:
+        bw = F._BitWriter()
+        bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+        bw.write(7, 4); bw.write(13, 4); bw.write(0, 4); bw.write(4, 3)
+        bw.write(0, 1); bw.write(0, 8)
+        bw.write(len(samples) - 1, 16); bw.write(8000, 16)
+        bw.write(F._crc8(bytes(bw.out)), 8)
+        body_writer(bw)
+        bw.align()
+        frame = bytes(bw.out)
+        si = bytearray(34)
+        si[10:18] = ((8000 << 44) | (15 << 36) | len(samples)).to_bytes(8, "big")
+        return (F.FLAC_MAGIC + bytes([0x80]) + len(si).to_bytes(3, "big")
+                + bytes(si) + frame + struct.pack(">H", F._crc16(frame)))
+
+    def escape_body(bw):
+        bw.write(0, 1); bw.write(8, 6); bw.write(0, 1)   # FIXED order 0
+        bw.write(0, 2); bw.write(0, 4)                   # RICE, 1 partition
+        bw.write(15, 4)                                  # ESCAPE
+        bw.write(8, 5)                                   # 8 raw bits each
+        for s in samples:
+            bw.write(s, 8)
+
+    assert list(F.decode_flac(frame_with(escape_body))) == samples
+
+    def wasted_body(bw):
+        bw.write(0, 1); bw.write(1, 6)                   # VERBATIM
+        bw.write(1, 1); bw.write(1, 1)                   # wasted = unary0+1 = 1
+        for s in samples:
+            bw.write(s >> 1, 15)                         # 16-1 bits, pre-shift
+
+    assert list(F.decode_flac(frame_with(wasted_body))) == samples
+
+
+def test_flac_crc_and_malformed_rejected():
+    F = _flac()
+    pcm = np.arange(100, dtype=np.int16)
+    good = bytearray(F.encode_flac(pcm, blocksize=100))
+    good[-20] ^= 0x01  # corrupt frame payload -> CRC-16 mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        F.decode_flac(bytes(good))
+    with pytest.raises(ValueError, match="FLAC"):
+        F.decode_flac(b"not flac at all")
+    # registry integration: malformed flac surfaces as decode_ok None path
+    assert audio.decode_pcm(b"fLaC\x00\x00\x00", "flac") is None
+    assert np.array_equal(
+        audio.decode_pcm(F.encode_flac(pcm), "flac"), pcm
+    )
+
+
+def test_flac_flows_through_signature_kernel(spark):
+    """A flac-coded clip with identical PCM as a pcm16 clip produces the
+    identical content/pcm hash — codec-transparent dedup, the same
+    invariant as the WAV test."""
+    from pyspark.sql import Row
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+
+    F = _flac()
+    pcm = (np.sin(np.arange(4000) / 30) * 9000).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            Row(clip_id="raw", bytes=pcm.tobytes(), sr_hz=8000, dur_ms=500,
+                codec="pcm16", transcript="same words"),
+            Row(clip_id="flac", bytes=F.encode_flac(pcm, subframe="fixed"),
+                sr_hz=8000, dur_ms=500, codec="flac", transcript="same words"),
+        ]
+    )
+    rows = {r["clip_id"]: r for r in
+            compute_signatures(df, CLIPS_CONFIG).collect()}
+    assert rows["flac"]["decode_ok"]
+    assert rows["raw"]["content_hash"] == rows["flac"]["content_hash"]
+    assert rows["raw"]["pcm_hash"] == rows["flac"]["pcm_hash"]
