@@ -20,7 +20,13 @@ Skew/scale notes:
   substring matrix; larger ones build an Aho-Corasick automaton over the
   padded transcripts and scan each transcript once — COMPLETE (finds
   mid-slice containment, not just prefix slices) in
-  O(total pattern chars + total haystack chars + matches) per bucket.
+  O(total pattern chars + total haystack chars + matches) per bucket;
+- a SUFFIX-ARRAY strategy (the north_rule's named technique) is also
+  implemented — numpy prefix-doubling SA over the bucket's concatenated
+  padded transcripts, binary-searched per pattern — and proven
+  pair-identical to the other two on randomized unicode buckets
+  (``_bucket_pairs(strategy=...)`` selects; Aho-Corasick stays the
+  default as the asymptotically cheaper scan).
 """
 
 from __future__ import annotations
@@ -104,32 +110,139 @@ def _aho_corasick_pairs(texts: list[tuple[str, int]]) -> tuple[list[int], list[i
     return out_s, out_b
 
 
-def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+def _suffix_array(codes: "np.ndarray") -> "np.ndarray":
+    """Suffix array by prefix doubling (numpy lexsort per round,
+    O(n log^2 n), no per-character Python loop)."""
+    import numpy as np
+
+    n = codes.size
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (
+            (rank[order][1:] != rank[order][:-1])
+            | (key2[order][1:] != key2[order][:-1])
+        ).cumsum()
+        rank[order] = changed
+        if changed[-1] == n - 1:
+            break
+        k <<= 1
+    out = np.empty(n, dtype=np.int64)
+    out[rank] = np.arange(n)
+    return out
+
+
+def _suffix_array_pairs(texts: list[tuple[str, int]]) -> tuple[list[int], list[int]]:
+    """Containment scan via a suffix array over the bucket's concatenated
+    padded transcripts (the north_rule's named technique): binary-search
+    each padded pattern in the SA, map hit positions to owning
+    transcripts.  Same token-slice semantics as :func:`_contains`; proven
+    pair-identical to the matrix and Aho-Corasick strategies in
+    tests/test_operators.py."""
+    import numpy as np
+
+    padded = [f" {t} " if t else "" for t, _ in texts]
+    # '\x00' separators: patterns contain none, so every SA hit lies
+    # wholly inside one transcript's segment
+    concat = "\x00".join(padded)
+    # BIG-endian utf-32: fixed-width code units whose BYTE-wise
+    # lexicographic order equals code-point order (little-endian would
+    # mis-order non-ASCII — the corpus has unicode transcripts)
+    data = concat.encode("utf-32-be")
+    codes = np.frombuffer(data, dtype=">u4").astype(np.int64)
+    sa = _suffix_array(codes)
+    starts = []  # segment start (in code units) per text index
+    pos = 0
+    for p in padded:
+        starts.append(pos)
+        pos += len(p) + 1
+    starts_arr = np.array(starts, dtype=np.int64)
+
+    def suffix_cmp_ge(suf: int, pat: bytes) -> bool:
+        return bytes(data[suf * 4 : suf * 4 + len(pat)]) >= pat
+
+    out_s: list[int] = []
+    out_b: list[int] = []
+    n = sa.size
+    for i, (ti, hi) in enumerate(texts):
+        if not ti:
+            continue
+        pat = padded[i].encode("utf-32-be")  # same byte order as `data`
+        # lower bound: first suffix >= pat
+        lo, hi_b = 0, n
+        while lo < hi_b:
+            mid = (lo + hi_b) // 2
+            if suffix_cmp_ge(int(sa[mid]), pat):
+                hi_b = mid
+            else:
+                lo = mid + 1
+        first = lo
+        # upper bound: first suffix whose pat-length prefix > pat
+        hi_b = n
+        while lo < hi_b:
+            mid = (lo + hi_b) // 2
+            if bytes(data[int(sa[mid]) * 4 : int(sa[mid]) * 4 + len(pat)]) > pat:
+                hi_b = mid
+            else:
+                lo = mid + 1
+        hits = sa[first:lo]
+        if hits.size == 0:
+            continue
+        owners = np.searchsorted(starts_arr, hits, side="right") - 1
+        for j in np.unique(owners):
+            j = int(j)
+            if j != i and texts[j][0] != ti:
+                out_s.append(hi)
+                out_b.append(texts[j][1])
+    return out_s, out_b
+
+
+def _bucket_pairs(pdf: pd.DataFrame, strategy: str = "auto") -> pd.DataFrame:
+    """Distinct-transcript containment pairs for one bucket.
+
+    ``strategy``: 'auto' (matrix for small buckets, Aho-Corasick above
+    FULL_MATRIX_LIMIT — the measured default), 'matrix', 'aho', or
+    'suffix' (suffix-array substring search, the north_rule's named
+    technique).  All strategies are pair-identical (tested)."""
     texts = sorted(set(zip(pdf["transcript"], pdf["thash"])))
     out_s: list[int] = []
     out_b: list[int] = []
     n = len(texts)
     if n <= 1:
         return pd.DataFrame({"thash_small": out_s, "thash_big": out_b})
-    if n <= FULL_MATRIX_LIMIT:
+    if strategy == "auto":
+        strategy = "matrix" if n <= FULL_MATRIX_LIMIT else "aho"
+    if strategy == "matrix":
         for i in range(n):
             ti, hi = texts[i]
             for j in range(n):
                 if i != j and _contains(ti, texts[j][0]):
                     out_s.append(hi)
                     out_b.append(texts[j][1])
-    else:
+    elif strategy == "aho":
         out_s, out_b = _aho_corasick_pairs(texts)
+    elif strategy == "suffix":
+        out_s, out_b = _suffix_array_pairs(texts)
+    else:
+        raise ValueError(f"unknown containment strategy {strategy!r}")
     return pd.DataFrame({"thash_small": out_s, "thash_big": out_b})
 
 
 def containment_candidates(
-    signatures: DataFrame, cfg: DedupConfig, kept: DataFrame | None = None
+    signatures: DataFrame, cfg: DedupConfig, kept: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Candidate pairs (clip_a < clip_b, source='containment').
 
     ``kept`` lets callers share the (cached) kept-bucket table with the
     LSH pair stage instead of recomputing banding + bucket sizes.
+    ``strategy`` selects the per-bucket scan ('auto'/'matrix'/'aho'/
+    'suffix' — see :func:`_bucket_pairs`); all are pair-identical.
 
     NOTE: within the pipeline this channel is subsumed — its buckets are
     exactly the LSH pair-generation buckets, so every containment pair it
@@ -161,7 +274,7 @@ def containment_candidates(
     )
     text_pairs = (
         bucket_texts.groupBy("band_idx", "band_key")
-        .applyInPandas(lambda pdf: _bucket_pairs(pdf), _PAIR_SCHEMA)
+        .applyInPandas(lambda pdf: _bucket_pairs(pdf, strategy), _PAIR_SCHEMA)
         .dropDuplicates(["thash_small", "thash_big"])
     )
     # expand transcript pairs back to clip pairs

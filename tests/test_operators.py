@@ -327,3 +327,38 @@ def test_verify_standalone_computes_candidates_once(spark, tiny_clips, signature
     n_out = out.count()
     assert n_out == len(pairs)
     assert acc.value == len(pairs)  # would be 2x without the persist
+
+
+def test_containment_strategies_pair_identical():
+    """matrix, Aho-Corasick and suffix-array containment scans must emit
+    the identical pair set on randomized buckets with planted slices,
+    unicode tokens, empty and duplicate transcripts."""
+    import numpy as np
+    import pandas as pd
+
+    from quichash_spark.operators.containment import _bucket_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "bravo", "charlie", "delta", "мир", "数据", "echo",
+             "foxtrot", "golf", "hotel", "🎵", "india"]
+    for trial in range(8):
+        texts = []
+        for t in range(30):
+            n = int(rng.integers(1, 12))
+            toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), n)]
+            texts.append(" ".join(toks))
+            if rng.random() < 0.4 and n > 2:   # plant a contiguous slice
+                a = int(rng.integers(0, n - 1))
+                b = int(rng.integers(a + 1, n + 1))
+                texts.append(" ".join(toks[a:b]))
+        texts.append("")                        # empty transcript
+        texts.append(texts[0])                  # duplicate text
+        pdf = pd.DataFrame(
+            {"transcript": texts, "thash": [hash(t) & 0x7FFFFFFF for t in texts]}
+        )
+        results = {}
+        for strat in ("matrix", "aho", "suffix"):
+            out = _bucket_pairs(pdf, strategy=strat)
+            results[strat] = set(zip(out["thash_small"], out["thash_big"]))
+        assert results["matrix"] == results["aho"] == results["suffix"], trial
+        assert results["matrix"], f"trial {trial} planted no containment?"
