@@ -653,6 +653,43 @@ def q_clips_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_candidates(sigs, CLIPS_CONFIG)
 
 
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end (functions/video.py): deterministic
+    synthetic AVI payloads generated executor-side (pure function of the
+    index), parsed + frame-sampled + perceptually hashed by
+    ``video_features``.  Rows-only by design (DuckDB cannot parse AVI);
+    every output column is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from quichash_spark.functions.video import encode_avi, video_features
+
+    n = max(20, _clips_n(sf_dir) // 25)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng([77, int(i)])
+                frames = rng.integers(
+                    0, 256, (int(rng.integers(4, 12)), 16, 16, 3), dtype=np.uint8
+                )
+                rows.append({
+                    "item_id": f"vid_{int(i):06d}",
+                    "payload": encode_avi(frames, fps=float(rng.integers(5, 31))),
+                })
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    items = spark.range(0, n, 1, 4).mapInPandas(gen, "item_id string, payload binary")
+    feats = video_features(items, k_frames=4)
+    return feats.select(
+        "item_id", "decode_ok", "n_frames", "width", "height",
+        F.round("fps", 3).alias("fps"),
+        F.concat_ws("|", "sampled_phash").alias("phash_concat"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
 def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-duplicate assignment (streaming/cluster.py band-key
     state) as a driver query: availableNow over the deterministic clips
@@ -735,6 +772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_candidates": q_clips_candidates,
     "clips_containment": q_clips_containment,
     "stream_neardup_assign": q_stream_neardup_assign,
+    "video_features": q_video_features,
 }
 
 _STOPWORD_ALT = "|".join(T.STOPWORDS)

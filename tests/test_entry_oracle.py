@@ -85,5 +85,5 @@ def test_every_query_has_callable_and_oracle_coverage():
     for name in rows_only:
         assert name.startswith(
             ("clips_", "dedup_simhash", "sim_ann", "sim_ivf", "doc_winnow",
-             "stream_")
+             "stream_", "video_")
         ), name

@@ -58,3 +58,62 @@ def test_frame_sampling():
     assert M.frame_sample_indices(100, 4) == [0, 25, 50, 75]
     assert M.frame_sample_indices(3, 8) == [0, 1, 2]
     assert M.frame_sample_indices(0, 4) == []
+
+
+# ---------------------------------------------------------------------------
+# video: AVI container + frame features (functions/video.py)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_and_features(spark):
+    from quichash_spark.functions import video as V
+
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, (10, 12, 9, 3), dtype=np.uint8)
+    data = V.encode_avi(frames, fps=5.0)
+    back, fps = V.decode_avi(data)
+    assert np.array_equal(back, frames)
+    assert abs(fps - 5.0) < 1e-6
+
+    df = spark.createDataFrame(
+        [Row(item_id="v", payload=data),
+         Row(item_id="bad", payload=b"RIFFxxxxAVI "),
+         Row(item_id="junk", payload=b"not a video")]
+    )
+    got = {r["item_id"]: r for r in V.video_features(df, k_frames=4).collect()}
+    v = got["v"]
+    assert v["decode_ok"] and v["n_frames"] == 10
+    assert v["width"] == 9 and v["height"] == 12 and abs(v["fps"] - 5.0) < 1e-6
+    # sampled phashes match direct computation on the same frame indices
+    idx = M.frame_sample_indices(10, 4)
+    assert v["sampled_phash"] == [M._phash8(frames[i]) for i in idx]
+    assert not got["bad"]["decode_ok"] and not got["junk"]["decode_ok"]
+
+
+def test_avi_mjpeg_frames_decode_via_jpeg():
+    """An MJPEG-handler AVI carries baseline-JPEG frames; the container
+    dispatches them to the real jpeg decoder."""
+    import struct as _struct
+
+    from quichash_spark.functions import video as V
+    from quichash_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    # build the AVI by hand with handler MJPG and jpeg-encoded chunks
+    data = bytearray(V.encode_avi(frames[:1]))  # template for headers
+    i = bytes(data).find(b"vids") + 4
+    data[i : i + 4] = b"MJPG"
+    # replace the movi list entirely
+    movi_start = bytes(data).find(b"LIST", 12 + 4)  # first LIST is hdrl
+    movi_start = bytes(data).find(b"LIST", movi_start + 4)
+    body = b"movi"
+    for f in frames:
+        payload = encode_jpeg(f, qtable=1)
+        pad = b"\x00" if len(payload) & 1 else b""
+        body += b"00dc" + _struct.pack("<I", len(payload)) + payload + pad
+    new = bytes(data[:movi_start]) + b"LIST" + _struct.pack("<I", len(body)) + body
+    new = new[:4] + _struct.pack("<I", len(new) - 8) + new[8:]
+    back, _ = V.decode_avi(new)
+    assert back.shape == frames.shape
+    assert int(np.abs(back.astype(int) - frames.astype(int)).max()) <= 2
