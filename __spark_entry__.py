@@ -11,8 +11,10 @@ oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query.  The
               are checked against parquet fixtures materialized by
               independent sequential implementations (brute-force numpy
               oracle / plain-Python LSH replica — see
-              quichash_spark/oracle/fixture.py); only ANN (approximate by
-              design) and streaming remain rows-only.
+              quichash_spark/oracle/fixture.py); only streaming
+              (stream_neardup_assign) and video (AVI parse) are
+              rows-only — ANN compares against sequential numpy
+              replicas via fixtures.
 """
 
 from __future__ import annotations
