@@ -517,6 +517,36 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_tables=16)
 
 
+def q_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: cosine
+    near-dup pairs -> connected components -> min-id representative per
+    cluster, singletons self-labeled.  The oracle reproduces the WHOLE
+    operator in SQL — including connected components via a recursive-CTE
+    min-label propagation — so the large-star/small-star CC job is
+    value-checked against an independent engine, not only the fixture."""
+    from quichash_spark.operators.connected_components import connected_components
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = S.neardup_pairs(emb, threshold=0.35)
+    # CC's union-find tail carries string ids (the clip pipeline's shape);
+    # zero-pad so string min == numeric min, cast back after
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 8, "0")  # noqa: E731
+    edges = pairs.select(pad("id_a").alias("clip_a"), pad("id_b").alias("clip_b"))
+    assigned = connected_components(edges).select(
+        F.col("clip_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    singles = (
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .join(assigned.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.col("vec_id").alias("cluster_id"))
+    )
+    return assigned.unionByName(singles).select(
+        "vec_id", "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -760,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "sim_topk": q_sim_topk,
     "sim_neardup": q_sim_neardup,
+    "sem_dedup": q_sem_dedup,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf": q_sim_ivf,
     "events_windowed": q_events_windowed,
@@ -1070,6 +1101,31 @@ ORACLE_SQL: dict[str, str] = {
           from scored
         )
         select query_id, neighbor_id, rank::INT as rank, cosine from ranked where rank <= 5
+    """,
+    "sem_dedup": """
+        with recursive
+        e0 as (select vec_id::BIGINT as vec_id, embedding
+               from embeddings where vec_id < 200),
+        pairs as (
+          select a.vec_id as a, b.vec_id as b
+          from e0 a join e0 b on a.vec_id < b.vec_id
+          where list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+        ),
+        edges as (select a, b from pairs union select b as a, a as b from pairs),
+        nodes as (select vec_id as node from e0),
+        cc(node, root, it) as (
+          select node, node, 0 from nodes
+          union all
+          select e.b, min(cc.root), cc.it + 1
+          from cc join edges e on cc.node = e.a
+          group by e.b, cc.it
+          having min(cc.root) < e.b and cc.it < 30
+        )
+        select node as vec_id, min(root) as cluster_id,
+               (node = min(root)) as is_rep
+        from cc group by node
     """,
     "sim_neardup": """
         with e as (select vec_id, embedding from embeddings where vec_id < 200)
