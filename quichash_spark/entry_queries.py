@@ -553,6 +553,21 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
 
 
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC shortlist + exact refine): the
+    memory-compression scale path — the corpus is scanned as (n, m) small
+    codes, float vectors touched only at encode time and for the
+    shortlist re-rank.  Oracle: sequential replica rows (pq.parquet)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(queries, emb, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+        "cosine",
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregation + JSON extraction
 # ---------------------------------------------------------------------------
@@ -793,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sem_dedup": q_sem_dedup,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf": q_sim_ivf,
+    "sim_pq": q_sim_pq,
     "events_windowed": q_events_windowed,
     "events_json": q_events_json,
     "pricing_summary": q_pricing_summary,
@@ -834,7 +850,7 @@ CLIPS_FIXTURE_KEYS = (
     "clips_containment",
 )
 DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
-ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf")
+ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf", "sim_pq")
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1210,6 +1226,10 @@ ORACLE_SQL: dict[str, str] = {
     "sim_ivf": f"""
         select query_id, neighbor_id, rank, cosine
         from read_parquet('{_ANN_FIX}/ivf.parquet')
+    """,
+    "sim_pq": f"""
+        select query_id, neighbor_id, rank, cosine
+        from read_parquet('{_ANN_FIX}/pq.parquet')
     """,
     "doc_winnow_pairs": f"""
         with kept as (

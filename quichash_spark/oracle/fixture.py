@@ -401,9 +401,77 @@ def sequential_ivf(
     return _topk_rows(cands, vecs, k)
 
 
+def sequential_pq(
+    vec_ids: list[int],
+    mat: "np.ndarray",
+    k: int = 5,
+    m: int = 16,
+    nbits: int = 6,
+    kmeans_iters: int = 10,
+    seed: int = 13,
+    sample_limit: int = 10_000,
+    refine_factor: int = 4,
+    n_queries: int = 10,
+) -> pd.DataFrame:
+    """Replica of operators.similarity.pq_topk at the entry-query config.
+
+    The codebook / encode / ADC kernels are shared verbatim with the Spark
+    operator (seeded, deterministic — same contract as sequential_ivf's
+    kmeans); the PIPELINE around them (shortlist by ADC score with the
+    operator's string-id tie-break, exact-cosine re-rank via the
+    sequential left-fold `_fold_dot`/`_fold_norm`) is re-derived here
+    independently of Spark."""
+    from quichash_spark.operators.similarity import (
+        pq_encode_batch,
+        pq_score_batch,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(mat[:sample_limit], m, 1 << nbits, kmeans_iters, seed)
+    q_rows = [i for i, v in enumerate(vec_ids) if v < n_queries]
+    qmat = mat[q_rows]
+    cos = pq_score_batch(pq_encode_batch(mat, books), books, qmat)  # (n, nq)
+    out = []
+    for qi, i in enumerate(q_rows):
+        qid = vec_ids[i]
+        # ADC shortlist: cosine_pq desc, neighbor id asc AS STRING (the
+        # operator casts ids to string before its row_number window)
+        scored = sorted(
+            ((-cos[ni, qi], str(vec_ids[ni]), ni)
+             for ni in range(len(vec_ids)) if vec_ids[ni] != qid)
+        )[: refine_factor * k]
+        exact = []
+        for _negadc, sid, ni in scored:
+            c = _fold_dot(mat[i], mat[ni]) / (_fold_norm(mat[i]) * _fold_norm(mat[ni]))
+            exact.append((-c, sid, vec_ids[ni]))
+        exact.sort()
+        for rank, (negc, _sid, nid) in enumerate(exact[:k], start=1):
+            out.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": nid,
+                    "rank": rank,
+                    "cosine": _round_half_up6(-negc),
+                }
+            )
+    df = pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "cosine"])
+    df["query_id"] = df["query_id"].astype("int64")
+    df["neighbor_id"] = df["neighbor_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int32")
+    return df
+
+
+#: bumped when a new expected-rows leg is added to the ann fixture dir
+#: (the dir is content-complete or rebuilt; ORACLE_FIXTURE_VERSION stays
+#: shared with the clips/docs fixtures, which are unaffected)
+ANN_FIXTURE_SUBVERSION = 2
+
+
 def ann_fixture_dir(sf_dir: str = DRIVER_SF_DIR) -> str:
     return os.path.join(
-        ROOT, f"ann_o{ORACLE_FIXTURE_VERSION}_{os.path.basename(sf_dir.rstrip('/'))}"
+        ROOT,
+        f"ann_o{ORACLE_FIXTURE_VERSION}.{ANN_FIXTURE_SUBVERSION}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
 
 
@@ -426,6 +494,9 @@ def ensure_ann_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
         )
         sequential_ivf(vec_ids, mat).to_parquet(
             os.path.join(tmp, "ivf.parquet"), index=False
+        )
+        sequential_pq(vec_ids, mat).to_parquet(
+            os.path.join(tmp, "pq.parquet"), index=False
         )
 
     return _atomic_build(target, build)

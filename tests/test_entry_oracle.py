@@ -84,6 +84,6 @@ def test_every_query_has_callable_and_oracle_coverage():
     rows_only = set(qs) - set(sqls)
     for name in rows_only:
         assert name.startswith(
-            ("clips_", "dedup_simhash", "sim_ann", "sim_ivf", "doc_winnow",
-             "stream_", "video_")
+            ("clips_", "dedup_simhash", "sim_ann", "sim_ivf", "sim_pq",
+             "doc_winnow", "stream_", "video_")
         ), name

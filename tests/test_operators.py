@@ -362,3 +362,45 @@ def test_containment_strategies_pair_identical():
             results[strat] = set(zip(out["thash_small"], out["thash_big"]))
         assert results["matrix"] == results["aho"] == results["suffix"], trial
         assert results["matrix"], f"trial {trial} planted no containment?"
+
+
+def test_pq_topk_matches_sequential_replica_and_has_recall(spark):
+    """PQ ANN: (a) raw-ADC cosines (refine_factor=0) are EXACTLY what the
+    sequential numpy replica computes from the same seeded codebooks —
+    the distributed encode/ADC path adds nothing; (b) the refined
+    operator's recall@5 vs brute-force cosine is high even on this
+    table's razor-thin margins."""
+    import numpy as np
+
+    from quichash_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = S.pq_topk(queries, emb, k=5, refine_factor=0).collect()
+
+    rows = emb.collect()
+    ids = np.array([str(r["vec_id"]) for r in rows])
+    mat = np.asarray([np.asarray(r["embedding"], np.float64) for r in rows])
+    books = S.train_pq_codebooks(mat[:10_000], 16, 64, 10, 13)
+    qmask = np.array([int(i) < 5 for i in ids])
+    qmat, qids = mat[qmask], ids[qmask]
+    cos = S.pq_score_batch(S.pq_encode_batch(mat, books), books, qmat)
+    expect = {}
+    for qi, qid in enumerate(qids):
+        order = sorted(
+            ((-cos[ni, qi], ids[ni]) for ni in range(len(ids)) if ids[ni] != qid)
+        )[:5]
+        for rank, (negc, nid) in enumerate(order, 1):
+            expect[(qid, rank)] = (nid, round(-negc, 6))
+    assert len(got) == len(expect)
+    for r in got:
+        nid, c = expect[(r["query_id"], r["rank"])]
+        assert r["neighbor_id"] == nid and abs(r["cosine_pq"] - c) < 1e-9, r
+
+    # refined recall@5 vs exact cosine (shortlist 4k, exact re-rank)
+    refined = S.pq_topk(queries, emb, k=5).collect()
+    exact = {(str(r["query_id"]), str(r["neighbor_id"]))
+             for r in S.topk_bruteforce(queries, emb, k=5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.8, recall
