@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "doc_fingerprint",
     "sim_topk",
     "sim_ann_lsh",
+    "sim_pq",
     "events_windowed",
     "verify_classification",
     "moved_detection",
