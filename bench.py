@@ -295,17 +295,21 @@ def hash_microbench(row_kb: int = 64) -> dict:
     from quichash_spark.functions.hashreg import HASH_REGISTRY
     from quichash_spark.session import get_spark, stop_spark
 
+    from quichash_spark.functions.hashreg import KERNEL_PROVENANCE
+
     tiers = {  # algorithm class -> corpus MB
-        "jvm": 256, "hashlib": 128, "purevec": 32,
+        "jvm": 256, "hashlib": 128, "cc": 128, "wheel": 256, "purevec": 32,
     }
     algo_tier = {
         **{a: "jvm" for a in ("md5", "sha1", "sha256", "sha224", "sha384",
                               "sha512", "crc32", "xxh64")},
         **{a: "hashlib" for a in ("sha3-224", "sha3-256", "sha3-384",
                                   "sha3-512", "blake2b", "blake2s")},
-        # numpy-vectorized spec kernels (~50-90 MB/s/core): big enough
-        # corpus that the timed region is not noise-dominated
-        **{a: "purevec" for a in ("blake3", "xxh3", "xxh128")},
+        # blake3/xxh3/xxh128 corpus sized by the kernel tier actually
+        # engaged: compiled-C / wheel run at 350-3500 MB/s/core, the
+        # numpy-vectorized fallback at ~50-90 (purevec corpus kept small
+        # so a wheel-less, gcc-less node doesn't stall the bench)
+        **{a: KERNEL_PROVENANCE[a] for a in ("blake3", "xxh3", "xxh128")},
     }
     cores = 8
     stop_spark()

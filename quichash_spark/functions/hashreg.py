@@ -6,10 +6,13 @@ Dispatch policy (SURVEY.md §2.7): algorithms with JVM built-ins stay in
 whole-stage codegen (`F.md5`, `F.sha1`, `F.sha2`, `F.xxhash64`, `F.crc32`);
 the rest run as Arrow-vectorized pandas UDFs — never per-row Python UDFs.
 SHA3/BLAKE2 use Python's hashlib; BLAKE3 and XXH3/XXH128 (no wheel in this
-environment) use the spec-implemented pure-Python kernels in
+environment) dispatch through three tiers (``resolve_batch_kernels``):
+an installed wheel, else a compile-on-first-use C kernel
+(:mod:`quichash_spark.functions.cc_kernels` — a translation of this
+repo's own spec kernels, gated on reproducing the published vectors at
+load time), else the spec-implemented pure-Python kernels in
 :mod:`quichash_spark.functions.blake3_pure` / ``xxh3_pure`` — validated
-against the published test vectors (see those modules' docstrings); swap
-in wheel-backed kernels on a cluster that has them.
+against the published test vectors (see those modules' docstrings).
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from quichash_spark.functions import cc_kernels
 from quichash_spark.functions.blake3_pure import blake3_hex, blake3_hex_batch
 from quichash_spark.functions.xxh3_pure import xxh3_64_hex, xxh3_128_hex
 
@@ -68,7 +72,56 @@ def resolve_native_kernels(warn: bool = True) -> dict[str, Callable[[bytes], str
     return kernels
 
 
-_NATIVE = resolve_native_kernels()
+def resolve_batch_kernels(
+    warn: bool = True,
+) -> tuple[dict[str, str], dict[str, Callable[[list[bytes]], list[str]]]]:
+    """Kernel tiers for the three algorithms with no JVM built-in
+    (blake3 / xxh3 / xxh128): ``wheel`` (installed C extension) >
+    ``cc`` (compile-on-first-use C translation of the spec kernels,
+    :mod:`cc_kernels` — ~350-3500 MB/s/core measured) > ``purevec``
+    (numpy-vectorized / scalar spec Python).  Returns
+    ``(provenance_by_algo, batch_kernel_by_algo)``; the registry below
+    wraps each batch kernel in one Arrow-batched pandas UDF."""
+    scalar = resolve_native_kernels(warn=False)
+    wheel_b3 = scalar["blake3"] is not blake3_hex
+    wheel_x = scalar["xxh3"] is not xxh3_64_hex
+    cc = None if (wheel_b3 and wheel_x) else cc_kernels.available()
+
+    def _lift(fn: Callable[[bytes], str]) -> Callable[[list[bytes]], list[str]]:
+        return lambda vals: [fn(v) for v in vals]
+
+    prov: dict[str, str] = {}
+    batch: dict[str, Callable[[list[bytes]], list[str]]] = {}
+    if wheel_b3:
+        prov["blake3"], batch["blake3"] = "wheel", _lift(scalar["blake3"])
+    elif cc is not None:
+        prov["blake3"], batch["blake3"] = "cc", cc_kernels.blake3_hex_batch_cc
+    else:
+        prov["blake3"], batch["blake3"] = "purevec", blake3_hex_batch
+    if wheel_x:
+        prov["xxh3"], batch["xxh3"] = "wheel", _lift(scalar["xxh3"])
+        prov["xxh128"], batch["xxh128"] = "wheel", _lift(scalar["xxh128"])
+    elif cc is not None:
+        prov["xxh3"], batch["xxh3"] = "cc", cc_kernels.xxh3_64_hex_batch_cc
+        prov["xxh128"] = "cc"
+        batch["xxh128"] = cc_kernels.xxh3_128_hex_batch_cc
+    else:
+        prov["xxh3"], batch["xxh3"] = "purevec", _lift(xxh3_64_hex)
+        prov["xxh128"], batch["xxh128"] = "purevec", _lift(xxh3_128_hex)
+    if warn and "purevec" in prov.values():
+        _LOG.warning(
+            "no wheel and no C compiler for %s: falling back to the "
+            "interpreter/numpy spec kernels (~MB/s). Install `blake3`/"
+            "`xxhash` wheels or gcc on the cluster for C-speed hashing; "
+            "JVM sha256/xxh64 remain the bulk-hash fast path.",
+            sorted(a for a, p in prov.items() if p == "purevec"),
+        )
+    return prov, batch
+
+
+#: provenance of the non-JVM kernels actually wired into HASH_REGISTRY
+#: ("wheel" | "cc" | "purevec") — bench.py sizes its corpus tiers off this
+KERNEL_PROVENANCE, _BATCH = resolve_batch_kernels()
 
 
 def _jvm(fn: Callable[[Column], Column]) -> Callable[[Column], Column]:
@@ -143,14 +196,12 @@ HASH_REGISTRY: dict[str, Callable[[Column], Column]] = {
     # spec-implemented kernels (see module docstrings for the
     # published-vector validation status); the reference's default dedup
     # algorithm is blake3 (src/dedup.rs:279-282), xxh3/xxh128 mirror its
-    # xxhash-rust wrappers (src/hash.rs:276-338).  Wheel-less blake3 uses
-    # the numpy-vectorized whole-batch kernel (~50 MB/s/core vs ~1-3 for
-    # the scalar spec transcription); a wheel still wins and auto-swaps.
-    "blake3": (_pure_udf(_NATIVE["blake3"])
-               if _NATIVE["blake3"] is not blake3_hex
-               else _batch_udf(blake3_hex_batch)),
-    "xxh3": _pure_udf(_NATIVE["xxh3"]),
-    "xxh128": _pure_udf(_NATIVE["xxh128"]),
+    # xxhash-rust wrappers (src/hash.rs:276-338).  Tiered dispatch
+    # (resolve_batch_kernels): wheel > compile-on-first-use C kernel
+    # (cc_kernels, published-vector-gated) > numpy/scalar spec Python.
+    "blake3": _batch_udf(_BATCH["blake3"]),
+    "xxh3": _batch_udf(_BATCH["xxh3"]),
+    "xxh128": _batch_udf(_BATCH["xxh128"]),
 }
 
 

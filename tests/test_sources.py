@@ -197,9 +197,12 @@ def test_pyfiles_zip_is_fresh():
         pytest.skip("quichash_spark.zip not built")
     zf = zipfile.ZipFile(zp)
     names = set(zf.namelist())
-    for py in (root / "quichash_spark").rglob("*.py"):
-        if "__pycache__" in py.parts:
-            continue
-        rel = py.relative_to(root).as_posix()
-        assert rel in names, f"{rel} missing from quichash_spark.zip"
-        assert zf.read(rel) == py.read_bytes(), f"{rel} stale in zip"
+    # *.c: cc_kernels compiles qh_hash.c on the executor node, reading it
+    # through importlib.resources — it must travel inside the zip too
+    for pat in ("*.py", "*.c"):
+        for py in (root / "quichash_spark").rglob(pat):
+            if "__pycache__" in py.parts:
+                continue
+            rel = py.relative_to(root).as_posix()
+            assert rel in names, f"{rel} missing from quichash_spark.zip"
+            assert zf.read(rel) == py.read_bytes(), f"{rel} stale in zip"
