@@ -83,4 +83,13 @@ def oracle_sql() -> dict[str, str]:
 
         for k in ANN_FIXTURE_KEYS:
             out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_media_fixture
+
+        ensure_media_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import MEDIA_FIXTURE_KEYS
+
+        for k in MEDIA_FIXTURE_KEYS:
+            out.pop(k, None)
     return out

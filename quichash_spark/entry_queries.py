@@ -775,6 +775,29 @@ def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def _media_n(sf_dir: str) -> int:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(200, int(sf * 20_000))
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-media metadata probe (functions/media_probe.py): MP3
+    frame walk + Xing, Ogg/Opus page-CRC + lacing + TOC durations, WebP
+    VP8/VP8L/VP8X headers — over the deterministic media corpus
+    (fixtures/media.py).  Oracle-checked: the DuckDB side reads the
+    generator's ground-truth parquet, so every parsed field must be
+    reconstructed from the bytes alone (malformed rows included)."""
+    from quichash_spark.fixtures.media import materialized_media
+    from quichash_spark.functions.media_probe import media_probe_features
+
+    media = materialized_media(spark, _media_n(sf_dir))
+    return media_probe_features(media.select("media_id", "data"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -820,6 +843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_containment": q_clips_containment,
     "stream_neardup_assign": q_stream_neardup_assign,
     "video_features": q_video_features,
+    "media_probe": q_media_probe,
 }
 
 _STOPWORD_ALT = "|".join(T.STOPWORDS)
@@ -834,11 +858,13 @@ from quichash_spark.oracle.fixture import (  # noqa: E402
     ann_fixture_dir,
     clips_fixture_dir,
     docs_fixture_dir,
+    media_fixture_dir,
 )
 
 _CLIPS_FIX = clips_fixture_dir(DRIVER_N_CLIPS)
 _DOCS_FIX = docs_fixture_dir()
 _ANN_FIX = ann_fixture_dir()
+_MEDIA_FIX = media_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -851,6 +877,7 @@ CLIPS_FIXTURE_KEYS = (
 )
 DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
 ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf", "sim_pq")
+MEDIA_FIXTURE_KEYS = ("media_probe",)
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1208,6 +1235,13 @@ ORACLE_SQL: dict[str, str] = {
     "clips_containment": f"""
         select clip_a, clip_b, source
         from read_parquet('{_CLIPS_FIX}/containment.parquet')
+    """,
+    # --- generator-truth oracle for the compressed-media metadata probe ---
+    "media_probe": f"""
+        select media_id, parse_ok, container, codec, sample_rate, channels,
+               duration_ms, bitrate_kbps, n_frames, n_pages, width, height,
+               vbr
+        from read_parquet('{_MEDIA_FIX}/truth.parquet')
     """,
     # --- fixture-backed oracles for documents-table kernels ---
     "dedup_simhash": f"""

@@ -502,6 +502,41 @@ def ensure_ann_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
     return _atomic_build(target, build)
 
 
+#: media-probe corpus size at the driver's sf0.01 contract
+DRIVER_N_MEDIA = 200
+
+
+def media_fixture_dir(n: int = DRIVER_N_MEDIA) -> str:
+    from quichash_spark.fixtures.media import MEDIA_FIXTURE_VERSION
+
+    return os.path.join(ROOT, f"media_f{MEDIA_FIXTURE_VERSION}_n{n}")
+
+
+def ensure_media_fixture(n: int = DRIVER_N_MEDIA) -> str:
+    """Generator ground truth for the media-probe corpus: written from
+    the spec formulas at ASSEMBLY time (fixtures/media.py), so the
+    DuckDB side of the ``media_probe`` query is independent of the
+    parsers the Spark side runs."""
+    target = media_fixture_dir(n)
+
+    def build(tmp: str) -> None:
+        from quichash_spark.fixtures.media import media_truth_row
+        from quichash_spark.functions.media_probe import PROBE_FIELDS
+
+        rows = [media_truth_row(i) for i in range(n)]
+        df = pd.DataFrame(rows, columns=["media_id", *PROBE_FIELDS])
+        # vbr ships as a nullable 0/1 BIGINT (see media_probe_features:
+        # null booleans canonicalize differently across engines)
+        df["vbr"] = df["vbr"].map(lambda x: None if x is None else int(x))
+        for col in ("sample_rate", "channels", "duration_ms", "bitrate_kbps",
+                    "n_frames", "n_pages", "width", "height", "vbr"):
+            df[col] = pd.array(df[col], dtype="Int64")
+        df["parse_ok"] = pd.array(df["parse_ok"], dtype="boolean")
+        df.to_parquet(os.path.join(tmp, "truth.parquet"), index=False)
+
+    return _atomic_build(target, build)
+
+
 def docs_fixture_dir(sf_dir: str = DRIVER_SF_DIR) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(ROOT, f"docs_o{ORACLE_FIXTURE_VERSION}_{tag}")
