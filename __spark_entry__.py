@@ -92,4 +92,13 @@ def oracle_sql() -> dict[str, str]:
 
         for k in MEDIA_FIXTURE_KEYS:
             out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_fp_fixture
+
+        ensure_fp_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import FP_FIXTURE_KEYS
+
+        for k in FP_FIXTURE_KEYS:
+            out.pop(k, None)
     return out

@@ -775,6 +775,22 @@ def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral landmark fingerprint matching (Wang-2003-style
+    constellation hashing, functions/fingerprint.py): clip pairs whose
+    landmark-hash collisions agree on one anchor-time offset — the
+    time-shift-robust audio-content signal the frame-shingle MinHash
+    lacks.  Oracle: the same frozen kernel run sequentially with an
+    independent pure-Python bucket join + alignment histogram
+    (oracle/fixture.py::sequential_fp_pairs)."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.fingerprint import compute_fingerprints
+    from quichash_spark.operators.fingerprint_match import fingerprint_pairs
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    return fingerprint_pairs(compute_fingerprints(clips))
+
+
 def _media_n(sf_dir: str) -> int:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -844,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_neardup_assign": q_stream_neardup_assign,
     "video_features": q_video_features,
     "media_probe": q_media_probe,
+    "audio_fp_pairs": q_audio_fp_pairs,
 }
 
 _STOPWORD_ALT = "|".join(T.STOPWORDS)
@@ -858,6 +875,7 @@ from quichash_spark.oracle.fixture import (  # noqa: E402
     ann_fixture_dir,
     clips_fixture_dir,
     docs_fixture_dir,
+    fp_fixture_dir,
     media_fixture_dir,
 )
 
@@ -865,6 +883,7 @@ _CLIPS_FIX = clips_fixture_dir(DRIVER_N_CLIPS)
 _DOCS_FIX = docs_fixture_dir()
 _ANN_FIX = ann_fixture_dir()
 _MEDIA_FIX = media_fixture_dir()
+_FP_FIX = fp_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -878,6 +897,7 @@ CLIPS_FIXTURE_KEYS = (
 DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
 ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf", "sim_pq")
 MEDIA_FIXTURE_KEYS = ("media_probe",)
+FP_FIXTURE_KEYS = ("audio_fp_pairs",)
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1235,6 +1255,11 @@ ORACLE_SQL: dict[str, str] = {
     "clips_containment": f"""
         select clip_a, clip_b, source
         from read_parquet('{_CLIPS_FIX}/containment.parquet')
+    """,
+    # --- sequential-replica oracle for landmark fingerprint matching ---
+    "audio_fp_pairs": f"""
+        select clip_a, clip_b, aligned_matches, total_matches, delta_frames
+        from read_parquet('{_FP_FIX}/fp_pairs.parquet')
     """,
     # --- generator-truth oracle for the compressed-media metadata probe ---
     "media_probe": f"""

@@ -502,6 +502,72 @@ def ensure_ann_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
     return _atomic_build(target, build)
 
 
+def sequential_fp_pairs(n: int) -> pd.DataFrame:
+    """Dict-and-loop replica of operators.fingerprint_match: the SAME
+    frozen landmark kernel run sequentially on the driver, followed by
+    an independent pure-Python hash-bucket join + alignment histogram
+    (vs Spark's distributed join/aggregation)."""
+    from collections import Counter
+
+    from quichash_spark.fixtures.clips import clip_row
+    from quichash_spark.functions.audio import decode_pcm
+    from quichash_spark.functions.fingerprint import FP_CONFIG, landmark_hashes
+
+    cfg = FP_CONFIG
+    buckets: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for i in range(n):
+        r = clip_row(i)
+        lm = landmark_hashes(decode_pcm(r["bytes"], r["codec"]), cfg)
+        for h, t in lm:
+            buckets[int(h)].append((r["clip_id"], int(t)))
+    deltas: dict[tuple[str, str], Counter] = defaultdict(Counter)
+    for occ in buckets.values():
+        if len(occ) > cfg.max_bucket:
+            continue  # non-discriminative hash: capped before expansion
+        for x in range(len(occ)):
+            for y in range(len(occ)):
+                (ca, ta), (cb, tb) = occ[x], occ[y]
+                if ca < cb:
+                    deltas[(ca, cb)][ta - tb] += 1
+    out = []
+    for (ca, cb), ctr in deltas.items():
+        # mirror Spark's max(struct(n, delta)): ties pick the larger delta
+        aligned, delta = max((v, d) for d, v in ctr.items())
+        if aligned < cfg.min_matches:
+            continue
+        out.append({
+            "clip_a": ca, "clip_b": cb,
+            "aligned_matches": aligned,
+            "total_matches": sum(ctr.values()),
+            "delta_frames": delta,
+        })
+    df = pd.DataFrame(
+        out, columns=["clip_a", "clip_b", "aligned_matches",
+                      "total_matches", "delta_frames"],
+    )
+    df["aligned_matches"] = df["aligned_matches"].astype("int64")
+    df["total_matches"] = df["total_matches"].astype("int64")
+    df["delta_frames"] = df["delta_frames"].astype("int32")
+    return df
+
+
+def fp_fixture_dir(n: int = DRIVER_N_CLIPS) -> str:
+    from quichash_spark.functions.fingerprint import FP_CONFIG
+
+    return os.path.join(ROOT, f"fp_v{FP_CONFIG.fp_version}_f{FIXTURE_VERSION}_n{n}")
+
+
+def ensure_fp_fixture(n: int = DRIVER_N_CLIPS) -> str:
+    target = fp_fixture_dir(n)
+
+    def build(tmp: str) -> None:
+        sequential_fp_pairs(n).to_parquet(
+            os.path.join(tmp, "fp_pairs.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)
+
+
 #: media-probe corpus size at the driver's sf0.01 contract
 DRIVER_N_MEDIA = 200
 
