@@ -47,6 +47,8 @@ HEADLINE_QUERIES = [
     "sim_topk",
     "sim_ann_lsh",
     "sim_pq",
+    "media_probe",
+    "audio_fp_pairs",
     "events_windowed",
     "verify_classification",
     "moved_detection",
