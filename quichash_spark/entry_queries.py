@@ -775,6 +775,34 @@ def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_rule's per-partition lineage + metrics tables as hard
+    driver signal: run (or resume) the flagship pipeline, read the
+    metrics table (storage.py — parquet-footer lineage rows appended at
+    checkpoint time, no extra Spark jobs), and sum per-partition
+    ``rows_out`` per stage (latest append per stage only — an
+    invalidated-and-rerun stage appends twice).  The oracle recomputes
+    each stage's row count INDEPENDENTLY from the sequential numpy
+    fixture parquet — a lineage batch that drops or double-counts a
+    partition hash-fails."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import run_pipeline
+    from quichash_spark.storage import CheckpointStore
+
+    n = _clips_n(sf_dir)
+    ckpt = f"/tmp/quichash_ckpt/v2_n{n}"
+    run_pipeline(spark, materialized_clips(spark, n), ckpt)
+    store = CheckpointStore(spark, ckpt, CLIPS_CONFIG)
+    stages = ["signatures", "exact_groups", "candidates", "clusters"]
+    return (
+        store.latest_metrics()
+        .filter(F.col("stage").isin(stages))
+        .groupBy("stage")
+        .agg(F.sum("rows_out").cast("long").alias("rows_total"))
+    )
+
+
 def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral landmark fingerprint matching (Wang-2003-style
     constellation hashing, functions/fingerprint.py): clip pairs whose
@@ -861,6 +889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_features": q_video_features,
     "media_probe": q_media_probe,
     "audio_fp_pairs": q_audio_fp_pairs,
+    "pipeline_metrics": q_pipeline_metrics,
 }
 
 _STOPWORD_ALT = "|".join(T.STOPWORDS)
@@ -893,6 +922,7 @@ CLIPS_FIXTURE_KEYS = (
     "clips_clusters",
     "clips_candidates",
     "clips_containment",
+    "pipeline_metrics",
 )
 DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
 ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf", "sim_pq")
@@ -1255,6 +1285,24 @@ ORACLE_SQL: dict[str, str] = {
     "clips_containment": f"""
         select clip_a, clip_b, source
         from read_parquet('{_CLIPS_FIX}/containment.parquet')
+    """,
+    # --- lineage-vs-independent-count oracle for the metrics table ---
+    "pipeline_metrics": f"""
+        select 'signatures' as stage, count(*)::BIGINT as rows_total
+        from read_parquet('{_CLIPS_FIX}/signatures.parquet')
+        union all
+        select 'exact_groups', count(*)::BIGINT from (
+            select content_hash
+            from read_parquet('{_CLIPS_FIX}/signatures.parquet')
+            where content_hash is not null
+            group by content_hash having count(*) > 1
+        )
+        union all
+        select 'candidates', count(*)::BIGINT
+        from read_parquet('{_CLIPS_FIX}/candidates.parquet')
+        union all
+        select 'clusters', count(*)::BIGINT
+        from read_parquet('{_CLIPS_FIX}/clusters.parquet')
     """,
     # --- sequential-replica oracle for landmark fingerprint matching ---
     "audio_fp_pairs": f"""

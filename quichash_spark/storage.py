@@ -176,6 +176,11 @@ class CheckpointStore:
         mdir = self.base / "_metrics"
         mdir.mkdir(parents=True, exist_ok=True)
         ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+        # batch_ms: one millisecond stamp per APPEND (also the file name)
+        # — an invalidated-and-rerun stage appends a second lineage batch,
+        # and consumers must be able to pick the latest unambiguously
+        # (the second-resolution ts can collide across a fast rerun)
+        batch_ms = int(time.time() * 1000)
         table = pa.table(
             {
                 "stage": pa.array([stage] * len(parts), pa.string()),
@@ -183,9 +188,10 @@ class CheckpointStore:
                 "rows_out": pa.array([n for _, n in parts], pa.int64()),
                 "config_hash": pa.array([self.cfg_hash] * len(parts), pa.string()),
                 "ts": pa.array([ts] * len(parts), pa.string()),
+                "batch_ms": pa.array([batch_ms] * len(parts), pa.int64()),
             }
         )
-        pq.write_table(table, mdir / f"{stage}_{int(time.time() * 1000)}.parquet")
+        pq.write_table(table, mdir / f"{stage}_{batch_ms}.parquet")
 
     def append_metrics(self, stage: str, df: DataFrame) -> None:
         """Aggregate per-partition counts of ``df`` into the metrics table
@@ -198,4 +204,31 @@ class CheckpointStore:
         self._append_metrics_rows(stage, [(r["partition_id"], r["rows_out"]) for r in per_part])
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.base / "_metrics"))
+        # mergeSchema: metrics dirs written before the batch_ms column
+        # existed read back with batch_ms null (treated as batch 0); a
+        # dir holding ONLY pre-batch_ms files surfaces no column at all
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(str(self.base / "_metrics"))
+        )
+        if "batch_ms" not in df.columns:
+            df = df.withColumn("batch_ms", F.lit(None).cast("long"))
+        return df
+
+    def latest_metrics(self) -> DataFrame:
+        """One lineage row per (stage, partition) — only each stage's
+        most recent append at the current config hash (an invalidated-
+        and-rerun stage appends twice; the latest batch is the live
+        table's lineage)."""
+        from pyspark.sql import Window
+
+        m = self.metrics().withColumn(
+            "batch", F.coalesce(F.col("batch_ms"), F.lit(0))
+        )
+        w = Window.partitionBy("stage")
+        return (
+            m.filter(F.col("config_hash") == self.cfg_hash)
+            .withColumn("max_batch", F.max("batch").over(w))
+            .filter(F.col("batch") == F.col("max_batch"))
+            .drop("batch", "max_batch")
+        )

@@ -61,6 +61,20 @@ def test_report_invariants(result):
     assert acc.filter(F.col("ca") != F.col("cb")).count() == 0
 
 
+def test_resume_appends_no_lineage_rows(spark, tiny_clips, result):
+    """A fully-resumed run (every stage manifest-skipped) must not
+    duplicate metrics-table lineage rows."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.pipeline import run_pipeline
+    from quichash_spark.storage import CheckpointStore
+
+    _, ckpt = result
+    store = CheckpointStore(spark, ckpt, CLIPS_CONFIG)
+    n_before = store.metrics().count()
+    run_pipeline(spark, tiny_clips, ckpt)
+    assert store.metrics().count() == n_before
+
+
 def test_resume_skips_completed_stages(spark, tiny_clips, result):
     from quichash_spark.pipeline import run_pipeline
 
@@ -106,6 +120,18 @@ def test_metrics_lineage_rows(spark, result):
     stages = {r["stage"] for r in m.select("stage").distinct().collect()}
     assert {"signatures", "candidates", "verified_edges", "clusters"} <= stages
     assert m.filter(F.col("rows_out") < 0).count() == 0
+    # per-stage sums of the LATEST lineage batch equal the actual
+    # checkpointed table counts (earlier tests invalidate + rerun tail
+    # stages, so stale batches exist alongside — latest_metrics filters)
+    sums = {
+        r["stage"]: r["s"]
+        for r in store.latest_metrics()
+        .groupBy("stage")
+        .agg(F.sum("rows_out").alias("s"))
+        .collect()
+    }
+    for stage in ("signatures", "candidates", "verified_edges", "clusters"):
+        assert sums[stage] == store.read(stage).count(), stage
 
 
 def test_partitioning_equivalence(spark, tmp_path_factory):
