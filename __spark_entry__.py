@@ -101,4 +101,13 @@ def oracle_sql() -> dict[str, str]:
 
         for k in FP_FIXTURE_KEYS:
             out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_aemb_fixture
+
+        ensure_aemb_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import AEMB_FIXTURE_KEYS
+
+        for k in AEMB_FIXTURE_KEYS:
+            out.pop(k, None)
     return out

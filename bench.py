@@ -49,6 +49,7 @@ HEADLINE_QUERIES = [
     "sim_pq",
     "media_probe",
     "audio_fp_pairs",
+    "audio_embed_neardup",
     "events_windowed",
     "verify_classification",
     "moved_detection",

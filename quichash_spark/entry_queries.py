@@ -819,6 +819,64 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_pairs(compute_fingerprints(clips))
 
 
+def q_audio_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup channel (functions/audio_embed.py):
+    MFCC [mean||std] clip embeddings (shuffle-free mapInPandas over the
+    scan) fed into the embedding dedup stack's ``neardup_pairs``
+    (JVM-side zip_with/aggregate cosine).  Complements audio_fp_pairs:
+    landmarks match the same *recording*; this matches similar
+    *spectral envelopes*.  Scale path for the quadratic baseline is the
+    oracle-checked ANN family (sim_ann_lsh / sim_ivf / sim_pq) over the
+    same embedding column.  Oracle: the same frozen kernel sequentially
+    + Spark-fold-order cosine (oracle/fixture.py::
+    sequential_audio_embed_pairs)."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.audio_embed import (
+        NEARDUP_THRESHOLD, compute_audio_embeddings,
+    )
+    from quichash_spark.operators.similarity import neardup_pairs
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    # eager checkpoint: both self-join branches reuse the embedding
+    # batches instead of running the MFCC kernel twice (same pattern as
+    # fingerprint_pairs)
+    emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
+    return neardup_pairs(emb, NEARDUP_THRESHOLD, id_col="clip_id")
+
+
+def q_audio_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over AUDIO: MFCC embedding near-dup pairs -> large-star/
+    small-star connected components -> min-id representative, singletons
+    (embeddable clips with no near neighbor) self-labeled.  The audio
+    twin of ``sem_dedup``; the CC job is value-checked against DuckDB's
+    recursive-CTE min-label propagation over the SAME edge set (the
+    sequential-kernel fixture pairs), so the distributed star-contraction
+    must agree with an independent engine on real string clip ids."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.audio_embed import (
+        NEARDUP_THRESHOLD, compute_audio_embeddings,
+    )
+    from quichash_spark.operators.connected_components import connected_components
+    from quichash_spark.operators.similarity import neardup_pairs
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
+    pairs = neardup_pairs(emb, NEARDUP_THRESHOLD, id_col="clip_id")
+    edges = pairs.select(
+        F.col("id_a").alias("clip_a"), F.col("id_b").alias("clip_b")
+    )
+    assigned = connected_components(edges)
+    singles = (
+        emb.select("clip_id")
+        .join(assigned.select("clip_id"), "clip_id", "left_anti")
+        .select("clip_id", F.col("clip_id").alias("cluster_id"))
+    )
+    return assigned.unionByName(singles).select(
+        "clip_id", "cluster_id",
+        (F.col("clip_id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
 def _media_n(sf_dir: str) -> int:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -889,6 +947,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_features": q_video_features,
     "media_probe": q_media_probe,
     "audio_fp_pairs": q_audio_fp_pairs,
+    "audio_embed_neardup": q_audio_embed_neardup,
+    "audio_sem_dedup": q_audio_sem_dedup,
     "pipeline_metrics": q_pipeline_metrics,
 }
 
@@ -901,6 +961,7 @@ _STOPWORD_ALT = "|".join(T.STOPWORDS)
 # reads them.  The clip-count is pinned to the driver's sf0.01 contract.
 from quichash_spark.oracle.fixture import (  # noqa: E402
     DRIVER_N_CLIPS,
+    aemb_fixture_dir,
     ann_fixture_dir,
     clips_fixture_dir,
     docs_fixture_dir,
@@ -913,6 +974,7 @@ _DOCS_FIX = docs_fixture_dir()
 _ANN_FIX = ann_fixture_dir()
 _MEDIA_FIX = media_fixture_dir()
 _FP_FIX = fp_fixture_dir()
+_AEMB_FIX = aemb_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -928,6 +990,7 @@ DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
 ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf", "sim_pq")
 MEDIA_FIXTURE_KEYS = ("media_probe",)
 FP_FIXTURE_KEYS = ("audio_fp_pairs",)
+AEMB_FIXTURE_KEYS = ("audio_embed_neardup", "audio_sem_dedup")
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1308,6 +1371,34 @@ ORACLE_SQL: dict[str, str] = {
     "audio_fp_pairs": f"""
         select clip_a, clip_b, aligned_matches, total_matches, delta_frames
         from read_parquet('{_FP_FIX}/fp_pairs.parquet')
+    """,
+    # --- sequential-replica oracle for the MFCC embedding channel ---
+    "audio_embed_neardup": f"""
+        select id_a, id_b, cosine
+        from read_parquet('{_AEMB_FIX}/embed_pairs.parquet')
+    """,
+    # --- recursive-CTE CC over the fixture edge set: the distributed
+    # star-contraction must agree with an independent engine's min-label
+    # propagation (same pattern as sem_dedup, on string clip ids) ---
+    "audio_sem_dedup": f"""
+        with recursive
+        pairs as (select id_a, id_b
+                  from read_parquet('{_AEMB_FIX}/embed_pairs.parquet')),
+        edges as (select id_a as a, id_b as b from pairs
+                  union select id_b as a, id_a as b from pairs),
+        nodes as (select clip_id as node
+                  from read_parquet('{_AEMB_FIX}/embed_ids.parquet')),
+        cc(node, root, it) as (
+          select node, node, 0 from nodes
+          union all
+          select e.b, min(cc.root), cc.it + 1
+          from cc join edges e on cc.node = e.a
+          group by e.b, cc.it
+          having min(cc.root) < e.b and cc.it < 30
+        )
+        select node as clip_id, min(root) as cluster_id,
+               (node = min(root)) as is_rep
+        from cc group by node
     """,
     # --- generator-truth oracle for the compressed-media metadata probe ---
     "media_probe": f"""

@@ -53,8 +53,18 @@ def cosine_pairs(
 ) -> DataFrame:
     """All (left x right) cosine scores; left side broadcast by default
     (the small query set)."""
-    l = left.select(F.col(id_left).alias("query_id"), F.col(vec).alias("qv"))
-    r = right.select(F.col(id_right).alias("neighbor_id"), F.col(vec).alias("nv"))
+    # norms are projected BELOW the join: one fold per input vector, not
+    # one per output pair (the join node blocks CollapseProject from
+    # inlining them back into the per-pair expression).  Same doubles —
+    # identical fold — so oracle value-hashes are unchanged.
+    l = left.select(
+        F.col(id_left).alias("query_id"), F.col(vec).alias("qv"),
+        _norm(vec).alias("qn"),
+    )
+    r = right.select(
+        F.col(id_right).alias("neighbor_id"), F.col(vec).alias("nv"),
+        _norm(vec).alias("nn"),
+    )
     if broadcast_left:
         l = F.broadcast(l)
     return (
@@ -63,7 +73,7 @@ def cosine_pairs(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qv", "nv") / (_norm("qv") * _norm("nv"))).alias("cosine"),
+            (_dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias("cosine"),
         )
     )
 
@@ -92,12 +102,19 @@ def neardup_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id",
     """All unordered pairs with cosine >= threshold (embedding near-dup
     channel of the dedup stack).  Baseline all-pairs form; at scale use
     ``ann_lsh_topk`` buckets to generate candidates first."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec).alias("qv"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec).alias("nv"))
+    # per-vector norms below the self-join (see cosine_pairs)
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("qv"),
+        _norm(vec).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("nv"),
+        _norm(vec).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot("qv", "nv") / (_norm("qv") * _norm("nv")))
+        .withColumn("cosine", _dot("qv", "nv") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -155,11 +172,13 @@ def ann_lsh_topk(
     qb = queries.select(
         F.col(id_left).alias("query_id"),
         F.col(vec).alias("qv"),
+        _norm(vec).alias("qn"),
         F.posexplode(buckets(F.col(vec))).alias("table_idx", "bucket"),
     )
     cb = corpus.select(
         F.col(id_right).alias("neighbor_id"),
         F.col(vec).alias("nv"),
+        _norm(vec).alias("nn"),
         F.posexplode(buckets(F.col(vec))).alias("table_idx", "bucket"),
     )
     cands = (
@@ -167,10 +186,11 @@ def ann_lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # norms folded once per (vector, table) below the join, not per pair
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        (_dot("qv", "nv") / (_norm("qv") * _norm("nv"))).alias("cosine"),
+        (_dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -236,11 +256,13 @@ def ivf_topk(
     cb = corpus.select(
         F.col(id_right).alias("neighbor_id"),
         F.col(vec).alias("nv"),
+        _norm(vec).alias("nn"),
         nearest_cell(F.col(vec)).alias("cell"),
     )
     qb = queries.select(
         F.col(id_left).alias("query_id"),
         F.col(vec).alias("qv"),
+        _norm(vec).alias("qn"),
         F.explode(probe_cells(F.col(vec))).alias("cell"),
     )
     scored = (
@@ -250,7 +272,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qv", "nv") / (_norm("qv") * _norm("nv"))).alias("cosine"),
+            (_dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -411,18 +433,20 @@ def pq_topk(
         "query_id", "neighbor_id"
     )
     qside = queries.select(
-        F.col(id_left).cast("string").alias("query_id"), F.col(vec).alias("qv")
+        F.col(id_left).cast("string").alias("query_id"), F.col(vec).alias("qv"),
+        _norm(vec).alias("qn"),
     )
     nside = corpus.select(
         F.col(id_right).cast("string").alias("neighbor_id"),
         F.col(vec).alias("nv"),
+        _norm(vec).alias("nn"),
     )
     exact = (
         shortlist.join(F.broadcast(qside), "query_id")
         .join(nside, "neighbor_id")  # nq*r*k rows: a tiny probe-side join
         .select(
             "query_id", "neighbor_id",
-            (_dot("qv", "nv") / (_norm("qv") * _norm("nv"))).alias("cosine"),
+            (_dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

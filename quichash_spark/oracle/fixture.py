@@ -568,6 +568,88 @@ def ensure_fp_fixture(n: int = DRIVER_N_CLIPS) -> str:
     return _atomic_build(target, build)
 
 
+def _sequential_audio_embeddings(n: int) -> tuple[list, list]:
+    """(clip_ids, float32 embeddings) for every embeddable clip — the
+    frozen kernel (functions/audio_embed.py) run clip-by-clip."""
+    from quichash_spark.fixtures.clips import clip_row
+    from quichash_spark.functions.audio import decode_pcm
+    from quichash_spark.functions.audio_embed import EMBED_CONFIG, mfcc_embedding
+
+    ids, vecs = [], []
+    for i in range(n):
+        r = clip_row(i)
+        emb = mfcc_embedding(decode_pcm(r["bytes"], r["codec"]),
+                             int(r["sr_hz"]), EMBED_CONFIG)
+        if emb is not None:
+            ids.append(r["clip_id"])
+            vecs.append(emb)
+    return ids, vecs
+
+
+def sequential_audio_embed_pairs(n: int) -> pd.DataFrame:
+    """Sequential replica of the MFCC embedding near-dup channel
+    (functions/audio_embed.py + operators/similarity.neardup_pairs):
+    the SAME frozen embedding kernel run clip-by-clip on the driver,
+    then an independent all-pairs loop with the Spark-fold-order cosine
+    (`_fold_dot`/`_fold_norm` over the float32 embedding values — the
+    exact per-element double casts Spark's aggregate() performs).
+
+    A numpy matrix product prefilters the quadratic scan (float error
+    <= 1e-9 vs the fold, margin applied); only pairs near the threshold
+    pay the exact pure-Python fold."""
+    ids, vecs = _sequential_audio_embeddings(n)
+    return _audio_pairs_from(ids, vecs)
+
+
+def _audio_pairs_from(ids: list, vecs: list) -> pd.DataFrame:
+    from quichash_spark.functions.audio_embed import NEARDUP_THRESHOLD
+
+    if not ids:
+        return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    mat = np.asarray(vecs, dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    approx = (mat @ mat.T) / np.outer(norms, norms)
+    out = []
+    for x in range(len(ids)):
+        for y in np.nonzero(approx[x] >= NEARDUP_THRESHOLD - 1e-9)[0]:
+            if y <= x:
+                continue
+            c = _fold_dot(vecs[x], vecs[y]) / (
+                _fold_norm(vecs[x]) * _fold_norm(vecs[y])
+            )
+            if c >= NEARDUP_THRESHOLD:
+                out.append({
+                    "id_a": ids[x], "id_b": ids[int(y)],
+                    "cosine": _round_half_up6(c),
+                })
+    return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+
+
+def aemb_fixture_dir(n: int = DRIVER_N_CLIPS) -> str:
+    from quichash_spark.functions.audio_embed import EMBED_CONFIG
+
+    return os.path.join(
+        ROOT, f"aemb_v{EMBED_CONFIG.embed_version}_f{FIXTURE_VERSION}_n{n}"
+    )
+
+
+def ensure_aemb_fixture(n: int = DRIVER_N_CLIPS) -> str:
+    target = aemb_fixture_dir(n)
+
+    def build(tmp: str) -> None:
+        ids, vecs = _sequential_audio_embeddings(n)
+        _audio_pairs_from(ids, vecs).to_parquet(
+            os.path.join(tmp, "embed_pairs.parquet"), index=False
+        )
+        # node list for the CC oracle (audio_sem_dedup): every clip that
+        # embedded successfully, including edge-less singletons
+        pd.DataFrame({"clip_id": ids}).to_parquet(
+            os.path.join(tmp, "embed_ids.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)
+
+
 #: media-probe corpus size at the driver's sf0.01 contract
 DRIVER_N_MEDIA = 200
 
