@@ -841,7 +841,10 @@ def q_audio_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batches instead of running the MFCC kernel twice (same pattern as
     # fingerprint_pairs)
     emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
-    return neardup_pairs(emb, NEARDUP_THRESHOLD, id_col="clip_id")
+    # 8x8 cartesian partition grid measured fastest here (the pushed-down
+    # cosine predicate stays in codegen; BroadcastNestedLoopJoin evaluates
+    # it interpreted and ran ~2x slower, P*P=576 tiny tasks ~20% slower)
+    return neardup_pairs(emb.coalesce(8), NEARDUP_THRESHOLD, id_col="clip_id")
 
 
 def q_audio_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,7 +864,7 @@ def q_audio_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = materialized_clips(spark, _clips_n(sf_dir))
     emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
-    pairs = neardup_pairs(emb, NEARDUP_THRESHOLD, id_col="clip_id")
+    pairs = neardup_pairs(emb.coalesce(8), NEARDUP_THRESHOLD, id_col="clip_id")
     edges = pairs.select(
         F.col("id_a").alias("clip_a"), F.col("id_b").alias("clip_b")
     )

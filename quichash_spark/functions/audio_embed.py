@@ -43,6 +43,7 @@ exactly.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -68,6 +69,7 @@ EMBED_CONFIG = AudioEmbedConfig()
 NEARDUP_THRESHOLD = 0.985
 
 
+@lru_cache(maxsize=32)  # few distinct (sr, cfg) per corpus; ~20%/clip
 def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     """(n_mels, n_fft//2 + 1) triangular filters on the mel scale."""
     f_max = sr / 2.0
@@ -88,6 +90,7 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     return fb
 
 
+@lru_cache(maxsize=8)
 def _dct2_matrix(n_out: int, n_in: int) -> np.ndarray:
     """Orthonormal DCT-II basis (n_out, n_in)."""
     n = np.arange(n_in)

@@ -98,10 +98,18 @@ def topk_bruteforce(
 
 
 def neardup_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id",
-                  vec: str = "embedding") -> DataFrame:
+                  vec: str = "embedding", broadcast: bool = False) -> DataFrame:
     """All unordered pairs with cosine >= threshold (embedding near-dup
     channel of the dedup stack).  Baseline all-pairs form; at scale use
-    ``ann_lsh_topk`` buckets to generate candidates first."""
+    ``ann_lsh_topk`` buckets to generate candidates first.
+
+    ``broadcast`` hints the build side explicitly.  Needed when
+    ``corpus`` has no catalog stats (e.g. a localCheckpoint'd kernel
+    output): without it Spark falls back to a P x P-task CartesianProduct
+    (24-partition input -> 576 tiny tasks); with it, one
+    BroadcastNestedLoopJoin pass over P stream partitions.  Only valid
+    while n_vectors x dim fits in executor memory — the ANN family is
+    the path beyond that."""
     # per-vector norms below the self-join (see cosine_pairs)
     a = corpus.select(
         F.col(id_col).alias("id_a"), F.col(vec).alias("qv"),
@@ -111,6 +119,8 @@ def neardup_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id",
         F.col(id_col).alias("id_b"), F.col(vec).alias("nv"),
         _norm(vec).alias("nb"),
     )
+    if broadcast:
+        b = F.broadcast(b)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
