@@ -25,14 +25,17 @@ The kernel is the textbook MFCC construction from public formulas:
    copy embed nearby.
 
 Separation measured on the 500-clip fixture corpus (all 124,750
-pairs, this config): planted identical-PCM pairs >= 0.99999,
-containment slices >= 0.99989, SNR-33..40dB noisy copies median
-0.9967 (one outlier 0.9769), planted SNR<20dB true NEGATIVES max
-0.9688.  ``NEARDUP_THRESHOLD = 0.985`` keeps 24/25 noisy copies and
-excludes every true negative; the ~50 cross-block pairs above it are
-sine mixtures that genuinely share spectral envelopes — correct
-behavior for a *perceptual* channel (the landmark fingerprints, not
-this module, carry the same-recording decision).
+pairs, this config incl. the v2 resample-to-8kHz step): planted
+identical-PCM pairs >= 0.99999, containment slices >= 0.99986,
+SNR-33..40dB noisy copies median 0.9969 (one outlier 0.9769), planted
+SNR<20dB true NEGATIVES max 0.9690.  ``NEARDUP_THRESHOLD = 0.985``
+keeps 24/25 noisy copies and excludes every true negative; the ~77
+cross-block pairs above it are sine mixtures that genuinely share
+spectral envelopes — correct behavior for a *perceptual* channel (the
+landmark fingerprints, not this module, carry the same-recording
+decision).  The resample step makes the channel sample-rate-invariant:
+identical content synthesized at 8 kHz vs 16 kHz scores cosine ~1.0
+(0.20 under the v1 per-rate mel basis).
 
 Everything is deterministic numpy; the sequential oracle replica calls
 the SAME kernel (bit-identical values) and mirrors Spark's cosine fold
@@ -50,11 +53,18 @@ import numpy as np
 
 @dataclass(frozen=True)
 class AudioEmbedConfig:
-    embed_version: int = 1
+    embed_version: int = 2  # v2: resample to target_sr before the STFT
     n_fft: int = 256
     hop: int = 128
     n_mels: int = 32
     n_mfcc: int = 16  # c0 dropped -> embedding dim = 2 * (n_mfcc - 1)
+    #: every clip is resampled here first, so the mel basis (and the
+    #: frame clock) is sample-rate-INVARIANT: the same content at 8 kHz
+    #: and 16 kHz embeds at cosine ~1.0 (the v1 kernel scored it 0.20 —
+    #: a different mel range per rate).  8 kHz also halves the FFT work
+    #: for 16 kHz clips; content above the 4 kHz Nyquist is discarded
+    #: (telephone band — the perceptual channel's standard tradeoff).
+    target_sr: int = 8000
     #: frames more than this many dB below the clip's loudest frame are
     #: excluded from the summary (VAD-lite): trailing/leading silence
     #: padding moves the padded copy's cosine from ~0.92 back to ~0.99
@@ -101,10 +111,23 @@ def _dct2_matrix(n_out: int, n_in: int) -> np.ndarray:
     return mat
 
 
+def resample_to(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Deterministic linear-interpolation resampling (vectorized
+    np.interp).  No anti-alias prefilter: fine for the analysis band
+    here (content above target Nyquist is rare in speech-band audio);
+    a production decimator would low-pass first."""
+    if sr == target_sr or x.size == 0:
+        return x
+    n_out = int(round(x.size * target_sr / sr))
+    pos = np.arange(n_out) * (sr / target_sr)
+    return np.interp(pos, np.arange(x.size), x)
+
+
 def mfcc_frames(pcm: np.ndarray, sr: int,
                 cfg: AudioEmbedConfig = EMBED_CONFIG) -> np.ndarray:
-    """(n_frames, n_mfcc) MFCCs; pcm int16-ish 1-D."""
-    x = pcm.astype(np.float64)
+    """(n_frames, n_mfcc) MFCCs; pcm int16-ish 1-D, resampled to
+    ``cfg.target_sr`` first (rate-invariant mel basis + frame clock)."""
+    x = resample_to(pcm.astype(np.float64), sr, cfg.target_sr)
     if x.size < cfg.n_fft:
         x = np.pad(x, (0, cfg.n_fft - x.size))
     n_frames = 1 + (x.size - cfg.n_fft) // cfg.hop
@@ -116,7 +139,7 @@ def mfcc_frames(pcm: np.ndarray, sr: int,
     # coefficients -> mfcc_embedding returns None on the zero norm
     fe = power.sum(axis=1)
     keep = fe >= fe.max() * 10.0 ** (-cfg.gate_db / 10.0)
-    fb = mel_filterbank(sr, cfg.n_fft, cfg.n_mels)
+    fb = mel_filterbank(cfg.target_sr, cfg.n_fft, cfg.n_mels)
     logmel = np.log(power[keep] @ fb.T + 1e-10)
     return logmel @ _dct2_matrix(cfg.n_mfcc, cfg.n_mels).T
 

@@ -67,6 +67,33 @@ def test_length_invariance_under_silence_padding():
     assert c > 0.985  # the energy gate drops the silent frames
 
 
+def test_cross_sample_rate_invariance():
+    """The same content synthesized at 8 kHz and 16 kHz must embed at
+    cosine ~1.0 (the resample-to-target_sr step; without it the mel
+    basis differs per rate and this pair scored 0.20)."""
+    comps = [(440.0, 5000.0, 0.1), (1200.0, 3000.0, 1.0), (2500.0, 2000.0, 2.0)]
+
+    def tone(sr):
+        t = np.arange(sr) / sr  # 1 second
+        sig = sum(a * np.sin(2 * np.pi * f * t + p) for f, a, p in comps)
+        return np.clip(sig, -32000, 32000).astype(np.int16)
+
+    c = _cos(mfcc_embedding(tone(8000), 8000), mfcc_embedding(tone(16000), 16000))
+    assert c > 0.999
+
+
+def test_resample_identity_and_length():
+    from quichash_spark.functions.audio_embed import resample_to
+
+    x = np.arange(100, dtype=np.float64)
+    assert resample_to(x, 8000, 8000) is x
+    y = resample_to(x, 16000, 8000)
+    assert y.shape == (50,)
+    # linear interp of a linear ramp is exact
+    assert np.allclose(y, np.arange(50, dtype=np.float64) * 2.0)
+    assert resample_to(np.array([]), 16000, 8000).size == 0
+
+
 def test_spark_embeddings_partition_invariant(spark):
     from quichash_spark.fixtures import clips_dataframe
     from quichash_spark.functions.audio_embed import compute_audio_embeddings
