@@ -775,6 +775,42 @@ def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def q_stream_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PERCEPTUAL near-dup assignment (streaming/cluster.py
+    hyperplane-bucket state over MFCC embeddings) as a driver query:
+    availableNow over the clips fixture dir in micro-batches, so
+    similar-sounding clips genuinely join across batch boundaries via
+    state.  Rows-only summary for the same reason as
+    stream_neardup_assign (per-clip cluster identity depends on
+    intra-batch seeding order; the counts do not)."""
+    import shutil
+    import tempfile
+
+    from quichash_spark.fixtures import FIXTURE_VERSION, materialized_clips
+    from quichash_spark.streaming.cluster import stream_embed_neardup_assign
+
+    n = _clips_n(sf_dir)
+    materialized_clips(spark, n)
+    src = f"/tmp/quichash_clips/v{FIXTURE_VERSION}_n{n}"
+    root = tempfile.mkdtemp(prefix="qh_sembed_")
+    try:
+        out = stream_embed_neardup_assign(
+            spark, src,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            out_dir=os.path.join(root, "out"),
+            max_files_per_trigger=2,
+        )
+        summary = out.agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum(F.col("joined_existing").cast("long")).alias("n_joined_existing"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        summary = summary.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return summary
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north_rule's per-partition lineage + metrics tables as hard
     driver signal: run (or resume) the flagship pipeline, read the
@@ -947,6 +983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_candidates": q_clips_candidates,
     "clips_containment": q_clips_containment,
     "stream_neardup_assign": q_stream_neardup_assign,
+    "stream_embed_assign": q_stream_embed_assign,
     "video_features": q_video_features,
     "media_probe": q_media_probe,
     "audio_fp_pairs": q_audio_fp_pairs,

@@ -205,6 +205,19 @@ def stream_near_dup_assign(
             "band_idx", "band_key"
         ),
     )
+    return _run_band_stream(spark, bands, checkpoint_dir, out_dir, ttl_ms)
+
+
+def _run_band_stream(
+    spark: SparkSession,
+    bands: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    ttl_ms: int | None,
+) -> DataFrame:
+    """Shared tail of the band-key near-dup operators: stateful bucket
+    assignment + per-micro-batch min-rep reduction -> parquet sink.
+    ``bands`` is any streaming (clip_id, band_idx int, band_key long)."""
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_ms
@@ -223,6 +236,154 @@ def stream_near_dup_assign(
     def finalize(batch_df: DataFrame, _batch_id: int) -> None:
         matched = F.when(
             ~F.col("is_new") & (F.col("rep") != F.col("clip_id")), F.col("rep")
+        )
+        out = (
+            batch_df.groupBy("clip_id")
+            .agg(F.min(matched).alias("match_rep"))
+            .select(
+                "clip_id",
+                F.coalesce("match_rep", "clip_id").alias("cluster_id"),
+                F.col("match_rep").isNotNull().alias("joined_existing"),
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        assigned.writeStream.foreachBatch(finalize)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+EMB_BAND_OUT_SCHEMA = (
+    "clip_id string, band_idx int, band_key long, rep string, "
+    "is_new boolean, cosine double"
+)
+#: rep clip_id + the rep's embedding: the bucket verifies arrivals
+#: against its seeder without any extra lookup or join
+EMB_BAND_STATE_SCHEMA = "rep string, emb array<double>"
+
+
+def _emb_band_assign(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State per (table_idx, bucket): the seeding clip AND its embedding,
+    so every later arrival's exact cosine to the bucket representative is
+    computed right here — no second stateful stage, no lookup join."""
+    import numpy as np
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rep, rep_emb = state.get if state.exists else (None, None)
+    if rep_emb is not None:
+        rep_emb = np.asarray(rep_emb, dtype=np.float64)
+    out: dict[str, list] = {
+        "clip_id": [], "band_idx": [], "band_key": [], "rep": [],
+        "is_new": [], "cosine": [],
+    }
+    for pdf in pdfs:
+        for cid, vec in zip(pdf["clip_id"], pdf["embedding"]):
+            v = np.asarray(vec, dtype=np.float64)
+            first = rep is None
+            if first:
+                rep, rep_emb = cid, v
+                cos = 1.0
+            else:
+                # embeddings are L2-normalized by the kernel
+                cos = float(v @ rep_emb)
+            out["clip_id"].append(cid)
+            out["band_idx"].append(key[0])
+            out["band_key"].append(key[1])
+            out["rep"].append(rep)
+            out["is_new"].append(first)
+            out["cosine"].append(cos)
+    state.update((rep, [float(x) for x in rep_emb]))
+    yield pd.DataFrame(out)
+
+
+def stream_embed_neardup_assign(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    threshold: float | None = None,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Incremental PERCEPTUAL dedup: hyperplane-LSH buckets over
+    streaming MFCC embeddings (functions/audio_embed.py), with
+    ``(table_idx, bucket)`` playing the MinHash variant's
+    ``(band_idx, band_key)`` role — plus an exact-cosine VERIFY the
+    MinHash variant lacks: the bucket state carries its seeder's
+    embedding, every arrival's cosine to the seeder is computed inside
+    the stateful operator, and only matches ``>= threshold``
+    (default: the batch channel's NEARDUP_THRESHOLD) join a cluster.
+
+    Loose buckets + exact verify = batch-equivalent precision with
+    candidate recall ``1-(1-(1-acos(c)/pi)^n_planes)^n_tables``
+    (~0.995 for the fixture's SNR-33dB copies at 12 planes x 4
+    tables).  Without the verify, bucket-only merging over-merged the
+    sine-mixture corpus 3.2x (402/500 clips joined vs 125 verified).
+    State is (clip_id, dim-30 embedding) per distinct (table, bucket)
+    — O(distinct buckets), TTL-boundable.  Clusters remain star-shaped
+    around first-seen reps (batch CC merges chains; see
+    stream_near_dup_assign's tradeoff note)."""
+    import numpy as np
+
+    from quichash_spark.functions.audio_embed import (
+        EMBED_CONFIG, NEARDUP_THRESHOLD, compute_audio_embeddings,
+    )
+    from quichash_spark.operators.similarity import hyperplane_buckets_udf
+
+    if threshold is None:
+        threshold = NEARDUP_THRESHOLD
+    dim = 2 * (EMBED_CONFIG.n_mfcc - 1)
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, n_planes, dim)
+    )
+    buckets = hyperplane_buckets_udf(planes)
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    emb = compute_audio_embeddings(stream)
+    bands = emb.select(
+        "clip_id",
+        "embedding",
+        F.posexplode(buckets(F.col("embedding"))).alias("band_idx", "band_key"),
+    ).select("band_idx", "band_key", "clip_id", "embedding")
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def assign_with_ttl(key, pdfs, state):
+        yield from _emb_band_assign(key, pdfs, state)
+        if ttl_ms and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+
+    assigned = bands.groupBy("band_idx", "band_key").applyInPandasWithState(
+        assign_with_ttl, EMB_BAND_OUT_SCHEMA, EMB_BAND_STATE_SCHEMA,
+        "append", timeout,
+    )
+
+    def finalize(batch_df: DataFrame, _batch_id: int) -> None:
+        matched = F.when(
+            ~F.col("is_new")
+            & (F.col("rep") != F.col("clip_id"))
+            & (F.col("cosine") >= threshold),
+            F.col("rep"),
         )
         out = (
             batch_df.groupBy("clip_id")

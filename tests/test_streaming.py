@@ -65,6 +65,36 @@ def test_stream_near_dup_band_state(spark, tmp_path):
         assert not rows[cid]["joined_existing"]
 
 
+def test_stream_embed_neardup_band_state(spark, tmp_path):
+    """Incremental PERCEPTUAL dedup (hyperplane buckets over streaming
+    MFCC embeddings): the SNR-33-40dB noisy copy arriving in a LATER
+    micro-batch joins the original's cluster through a shared
+    (table, bucket) key that was seeded batches earlier."""
+    from quichash_spark.fixtures import CLIPS_SCHEMA
+    from quichash_spark.fixtures.clips import clip_row
+    from quichash_spark.streaming.cluster import stream_embed_neardup_assign
+
+    src = tmp_path / "clips_emb"
+    src.mkdir()
+    b1 = spark.createDataFrame([clip_row(i) for i in (0, 4, 14)], CLIPS_SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    b2 = spark.createDataFrame([clip_row(i) for i in (6, 15)], CLIPS_SCHEMA)
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    got = stream_embed_neardup_assign(
+        spark,
+        str(src) + "/*/",
+        str(tmp_path / "ckpt_emb"),
+        str(tmp_path / "out_emb"),
+        max_files_per_trigger=1,
+    )
+    rows = {r["clip_id"]: r for r in got.collect()}
+    assert len(rows) == 5
+    a, b = rows["clip_00000014"], rows["clip_00000015"]
+    assert a["cluster_id"] == b["cluster_id"]
+    assert a["cluster_id"] in ("clip_00000014", "clip_00000015")
+    assert a["joined_existing"] or b["joined_existing"]
+
+
 def test_stream_scan_to_db_matches_batch(spark, tmp_path):
     """Streaming scan->DB sink: the standard-format database accumulated
     across micro-batches equals the batch scan of the same corpus, and
