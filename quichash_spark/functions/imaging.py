@@ -2,9 +2,9 @@
 
 PNG needs only zlib (stdlib) and BMP needs nothing, so both are
 implemented for real here; baseline JPEG (incl. its Huffman entropy
-decode) lives in :mod:`quichash_spark.functions.jpeg`; only webp remains
-stubbed in :mod:`quichash_spark.functions.multimodal` (VP8 entropy coder
-needs an external library).
+decode) lives in :mod:`quichash_spark.functions.jpeg`; WebP-lossless
+(VP8L prefix coding + transforms) in :mod:`quichash_spark.functions.vp8l`;
+only lossy VP8 inside webp remains stubbed (full intra-frame decoder).
 
 Contract (same as the multimodal registry): ``bytes -> (h, w, 3) uint8
 RGB``.  Grayscale expands to 3 channels; alpha is dropped — the

@@ -5,11 +5,12 @@ Audio is the fully-real modality in this engine (see
 :mod:`quichash_spark.functions.audio` — pcm/wav/G.711/ADPCM/FLAC real,
 only lossy opus/mp3 stubbed).  Images follow the identical pattern —
 ``binary`` payload column + metadata struct + ``mapInPandas`` kernel —
-with REAL png/bmp/jpeg decoders (:mod:`quichash_spark.functions.imaging`
-and :mod:`~.jpeg`, public specs over stdlib + numpy) plus the
-deterministic fake codec; only webp (VP8 entropy coder) still raises
-``NotImplementedError``, so the Spark-side plumbing is fully real and
-the remaining kernel is swappable on a cluster with imaging wheels.
+with REAL png/bmp/jpeg/webp-lossless decoders
+(:mod:`quichash_spark.functions.imaging`, :mod:`~.jpeg`,
+:mod:`~.vp8l` — public specs over stdlib + numpy) plus the
+deterministic fake codec; only lossy VP8 inside webp (a full
+intra-frame DCT decoder) still raises ``NotImplementedError``, hitting
+the kernel's decode_ok=False path.
 
 Fake codec ``raw_rgb8``: header ``width:int32 | height:int32`` followed by
 ``width*height*3`` bytes — decodable with numpy alone, exercising the full
@@ -56,17 +57,21 @@ def _stub(codec: str) -> Callable[[bytes], np.ndarray]:
 
 from quichash_spark.functions.imaging import decode_bmp, decode_png  # noqa: E402
 from quichash_spark.functions.jpeg import decode_jpeg  # noqa: E402
+from quichash_spark.functions.vp8l import decode_webp  # noqa: E402
 
 IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "raw_rgb8": _decode_raw_rgb8,
     # REAL decoders (public specs, stdlib + numpy — functions/imaging.py
     # for PNG/BMP, functions/jpeg.py for baseline JPEG incl. its own
-    # Huffman entropy decode + iDCT)
+    # Huffman entropy decode + iDCT, functions/vp8l.py for
+    # WebP-lossless: full prefix-code/LZ77/color-cache entropy layer +
+    # subtract-green & palette transforms; lossy VP8 and the
+    # predictor/color transforms raise NotImplementedError -> the
+    # kernel's decode_ok=False path, see vp8l.py's docstring)
     "png": decode_png,
     "bmp": decode_bmp,
     "jpeg": decode_jpeg,
-    # webp's VP8 entropy coder still needs an external library
-    "webp": _stub("webp"),
+    "webp": decode_webp,
 }
 
 IMAGE_FEATURES_SCHEMA = StructType(

@@ -248,11 +248,16 @@ def test_image_features_malformed_payload_not_fatal(spark):
     assert not rows["crc"]["decode_ok"]
     assert not rows["garbage"]["decode_ok"]
     assert rows["ok"]["decode_ok"] and rows["ok"]["width"] == 4
-    # honest stubs still surface loudly, not as silent decode failures
+    # honest stubs still surface loudly, not as silent decode failures —
+    # webp-lossless is REAL since late r4 (functions/vp8l.py); the stub
+    # inside the webp container is lossy VP8
+    import struct
+
     import pytest as _pytest
 
-    stub_df = spark.createDataFrame([Row(item_id="j", payload=b"x", codec="webp")])
-    with _pytest.raises(Exception, match="NotImplementedError|webp"):
+    vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\0\0\0\0"
+    stub_df = spark.createDataFrame([Row(item_id="j", payload=bytearray(vp8), codec="webp")])
+    with _pytest.raises(Exception, match="NotImplementedError|VP8"):
         M.image_features(stub_df).collect()
 
 

@@ -32,10 +32,23 @@ def test_image_features_pipeline(spark):
 
 
 def test_stub_codecs_raise(spark):
-    # webp is the one remaining honest stub (jpeg is real since r4)
-    df = spark.createDataFrame([Row(item_id="w", payload=b"RIFF", codec="webp")])
-    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
-        M.image_features(df).collect()
+    # webp is REAL for lossless (VP8L, functions/vp8l.py) since late r4;
+    # the remaining honest stub inside it is lossy VP8
+    from quichash_spark.functions.vp8l import encode_webp_lossless
+
+    img = _img(9, 12, 10)
+    good = encode_webp_lossless(img)
+    lossy = good.replace(b"VP8L", b"VP8 ", 1)
+    df = spark.createDataFrame([
+        Row(item_id="wl", payload=bytearray(good), codec="webp"),
+        Row(item_id="wt", payload=b"RIFF", codec="webp"),  # truncated
+    ])
+    got = {r["item_id"]: r for r in M.image_features(df).collect()}
+    assert got["wl"]["decode_ok"] and got["wl"]["width"] == img.shape[1]
+    assert got["wt"]["decode_ok"] is False  # malformed, not fatal
+    dfl = spark.createDataFrame([Row(item_id="v", payload=bytearray(lossy), codec="webp")])
+    with pytest.raises(Exception, match="NotImplementedError|VP8"):
+        M.image_features(dfl).collect()
     # a truncated jpeg is a MALFORMED input now, not a stub: decode_ok=False
     df2 = spark.createDataFrame([Row(item_id="j", payload=b"\xff\xd8", codec="jpeg")])
     assert M.image_features(df2).collect()[0]["decode_ok"] is False
