@@ -107,6 +107,36 @@ def test_spark_embeddings_partition_invariant(spark):
     assert len(sa) > 0
 
 
+def test_fused_signature_embedding_matches_standalone(spark):
+    """compute_signatures(include_embedding=True) computes the MFCC
+    embedding in the SAME decode pass as the hashes (the 100 TB
+    single-read shape) and must produce bit-identical vectors to the
+    standalone mapInPandas kernel; the flagship schema is untouched by
+    default."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import clips_dataframe
+    from quichash_spark.functions.audio_embed import compute_audio_embeddings
+    from quichash_spark.functions.udfs import compute_signatures
+
+    n = 40
+    fused = compute_signatures(
+        clips_dataframe(spark, n), CLIPS_CONFIG, include_embedding=True
+    )
+    got = {
+        r["clip_id"]: tuple(r["embedding"])
+        for r in fused.collect()
+        if r["embedding"] is not None
+    }
+    sep = {
+        r["clip_id"]: tuple(r["embedding"])
+        for r in compute_audio_embeddings(clips_dataframe(spark, n)).collect()
+    }
+    assert got == sep and len(got) > 0
+    assert "embedding" not in compute_signatures(
+        clips_dataframe(spark, n), CLIPS_CONFIG
+    ).columns
+
+
 def test_spark_pairs_match_sequential_replica(spark):
     from quichash_spark.fixtures import clips_dataframe
     from quichash_spark.functions.audio_embed import compute_audio_embeddings
