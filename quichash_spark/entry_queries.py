@@ -138,6 +138,39 @@ def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/pii.py): per-type regexp counts + a
+    sequential redaction chain, all whole-stage-codegen JVM.  The
+    synthetic documents carry no PII, so the query injects
+    deterministic email/IP/phone/SSN-shaped tokens via arithmetic on
+    doc_id — the EXACT same expression the DuckDB oracle builds — then
+    scrubs; the md5 of the redacted text and all four counts must
+    match an independent regex engine (Java regex vs RE2; patterns
+    restricted to the common-semantics subset)."""
+    from quichash_spark.functions.pii import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    empty = F.lit("")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" mail user"), s(d), F.lit("@example.com"))).otherwise(empty),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" node 10.0."), s(d % 256), F.lit("."), s(d % 100))).otherwise(empty),
+        F.when(d % 7 == 0, F.concat(
+            F.lit(" call +1 555-"), F.lpad(s(d % 10000), 4, "0"))).otherwise(empty),
+        F.when(d % 11 == 0, F.concat(
+            F.lit(" id 093-12-"), F.lpad(s(d % 10000), 4, "0"))).otherwise(empty),
+    )
+    scrubbed = scrub_pii(docs.select("doc_id", aug.alias("text")), "text")
+    return scrubbed.select(
+        "doc_id", F.md5("text").alias("scrub_md5"),
+        "n_email", "n_phone", "n_ssn", "n_ipv4",
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
@@ -952,6 +985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "doc_winnow_pairs": q_doc_winnow_pairs,
     "text_langid": q_text_langid,
+    "text_pii_scrub": q_text_pii_scrub,
     "doc_fingerprint": q_doc_fingerprint,
     "multi_hash": q_multi_hash,
     "fast_mode_hash": q_fast_mode_hash,
@@ -1053,6 +1087,34 @@ ORACLE_SQL: dict[str, str] = {
         select doc_id,
                len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))::BIGINT as n_tokens_bpe
         from documents
+    """,
+    # --- PII scrub: Java regex (Spark) vs RE2 (DuckDB) on the common
+    # syntax subset; injected tokens built by the same doc_id arithmetic ---
+    "text_pii_scrub": r"""
+        with aug as (
+          select doc_id,
+            text
+            || case when doc_id % 3 = 0
+                 then ' mail user' || doc_id || '@example.com' else '' end
+            || case when doc_id % 5 = 0
+                 then ' node 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                 else '' end
+            || case when doc_id % 7 = 0
+                 then ' call +1 555-' || lpad((doc_id % 10000)::varchar, 4, '0')
+                 else '' end
+            || case when doc_id % 11 = 0
+                 then ' id 093-12-' || lpad((doc_id % 10000)::varchar, 4, '0')
+                 else '' end
+            as t
+          from documents
+        )
+        select doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+\d{1,3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'), '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g'), '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) as scrub_md5,
+               length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT as n_email,
+               length(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{4}\b'))::BIGINT as n_phone,
+               length(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT as n_ssn,
+               length(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT as n_ipv4
+        from aug
     """,
     "text_langid": f"""
         select doc_id,

@@ -234,3 +234,27 @@ def test_stream_cluster_assign_stateful(spark, tiny_clips, tmp_path):
     assert all(next(iter(v)) in ids for v in reps.values())
     # is_first fired exactly once per hash
     assert sum(1 for r in rows if r["is_first"]) == len(hashes)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """functions/pii.py: per-type counts on the original text, sequential
+    redaction, pure-JVM plan (no Python eval in the scrubber)."""
+    from pyspark.sql import Row
+
+    from quichash_spark.functions.pii import scrub_pii
+
+    df = spark.createDataFrame([
+        Row(id=1, text="mail a.b+c@ex-1.org and c@d.io call +44 123-4567"),
+        Row(id=2, text="host 192.168.0.1 id 123-45-6789"),
+        Row(id=3, text="clean text, no identifiers here"),
+        Row(id=4, text="999.999.999.999 still matches the shape rule"),
+    ])
+    got = {r["id"]: r for r in scrub_pii(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (2, 1)
+    assert got[1]["text"] == "mail [EMAIL] and [EMAIL] call [PHONE]"
+    assert (got[2]["n_ipv4"], got[2]["n_ssn"]) == (1, 1)
+    assert got[2]["text"] == "host [IP] id [ID]"
+    assert got[3]["text"].startswith("clean") and got[3]["n_email"] == 0
+    assert got[4]["n_ipv4"] == 1  # shape-based, not range-validated
+    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
