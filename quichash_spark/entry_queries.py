@@ -808,6 +808,41 @@ def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def q_audio_pair_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel fusion: the landmark fingerprint channel (same
+    *recording*, time-shift-robust) FULL-OUTER-joined with the MFCC
+    embedding channel (similar *sound*) into one per-pair verdict —
+    'recording+perceptual' / 'recording' / 'perceptual'.  The product
+    answer a dedup reviewer actually wants: which evidence backs this
+    pair.  Oracle: DuckDB joins the two sequential-replica fixture
+    parquets with the same case expression."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.audio_embed import (
+        NEARDUP_THRESHOLD, compute_audio_embeddings,
+    )
+    from quichash_spark.functions.fingerprint import compute_fingerprints
+    from quichash_spark.operators.fingerprint_match import fingerprint_pairs
+    from quichash_spark.operators.similarity import neardup_pairs
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    fp = fingerprint_pairs(compute_fingerprints(clips)).select(
+        "clip_a", "clip_b", "aligned_matches"
+    )
+    emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
+    ep = neardup_pairs(emb.coalesce(8), NEARDUP_THRESHOLD, id_col="clip_id").select(
+        F.col("id_a").alias("clip_a"), F.col("id_b").alias("clip_b"), "cosine"
+    )
+    j = fp.alias("f").join(ep.alias("e"), ["clip_a", "clip_b"], "full_outer")
+    return j.select(
+        "clip_a", "clip_b", "aligned_matches", "cosine",
+        F.when(
+            F.col("aligned_matches").isNotNull() & F.col("cosine").isNotNull(),
+            F.lit("recording+perceptual"),
+        ).when(F.col("aligned_matches").isNotNull(), F.lit("recording"))
+        .otherwise(F.lit("perceptual")).alias("verdict"),
+    )
+
+
 def q_stream_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PERCEPTUAL near-dup assignment (streaming/cluster.py
     hyperplane-bucket state over MFCC embeddings) as a driver query:
@@ -1023,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fp_pairs": q_audio_fp_pairs,
     "audio_embed_neardup": q_audio_embed_neardup,
     "audio_sem_dedup": q_audio_sem_dedup,
+    "audio_pair_verdict": q_audio_pair_verdict,
     "pipeline_metrics": q_pipeline_metrics,
 }
 
@@ -1063,8 +1099,9 @@ CLIPS_FIXTURE_KEYS = (
 DOCS_FIXTURE_KEYS = ("dedup_simhash", "doc_winnow_pairs")
 ANN_FIXTURE_KEYS = ("sim_ann_lsh", "sim_ivf", "sim_pq")
 MEDIA_FIXTURE_KEYS = ("media_probe",)
-FP_FIXTURE_KEYS = ("audio_fp_pairs",)
-AEMB_FIXTURE_KEYS = ("audio_embed_neardup", "audio_sem_dedup")
+FP_FIXTURE_KEYS = ("audio_fp_pairs", "audio_pair_verdict")
+AEMB_FIXTURE_KEYS = ("audio_embed_neardup", "audio_sem_dedup",
+                     "audio_pair_verdict")
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1473,6 +1510,19 @@ ORACLE_SQL: dict[str, str] = {
     "audio_fp_pairs": f"""
         select clip_a, clip_b, aligned_matches, total_matches, delta_frames
         from read_parquet('{_FP_FIX}/fp_pairs.parquet')
+    """,
+    # --- channel fusion: landmark + embedding evidence per pair ---
+    "audio_pair_verdict": f"""
+        select coalesce(f.clip_a, e.id_a) as clip_a,
+               coalesce(f.clip_b, e.id_b) as clip_b,
+               f.aligned_matches, e.cosine,
+               case when f.clip_a is not null and e.id_a is not null
+                      then 'recording+perceptual'
+                    when f.clip_a is not null then 'recording'
+                    else 'perceptual' end as verdict
+        from read_parquet('{_FP_FIX}/fp_pairs.parquet') f
+        full join read_parquet('{_AEMB_FIX}/embed_pairs.parquet') e
+          on f.clip_a = e.id_a and f.clip_b = e.id_b
     """,
     # --- sequential-replica oracle for the MFCC embedding channel ---
     "audio_embed_neardup": f"""

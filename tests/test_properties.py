@@ -99,3 +99,39 @@ def test_verify_pair_consistency(a, b):
     )
     if ta == tb:
         assert v["accepted"]
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24),
+    st.sampled_from([{}, {"use_cache_bits": 3}, {"subtract_green": True},
+                     {"lz77": True}, {"palette": True}]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_vp8l_roundtrip_property(h, w, kw, seed):
+    """Any image, any encoder feature set -> bit-exact decode."""
+    from quichash_spark.functions.vp8l import decode_webp, encode_webp_lossless
+
+    rng = np.random.default_rng(seed)
+    if kw.get("palette"):
+        ncol = int(rng.integers(1, 20))
+        colors = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = colors[rng.integers(0, ncol, (h, w))]
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_lossless(img, **kw)), img)
+
+
+@given(st.integers(1, 5000), st.sampled_from([8000, 16000, 44100]),
+       st.sampled_from([8000, 16000]))
+@settings(max_examples=40, deadline=None)
+def test_resample_length_and_bounds(n, sr, tgt):
+    """Output length = round(n * tgt/sr); values stay within input range
+    (linear interpolation never overshoots)."""
+    from quichash_spark.functions.audio_embed import resample_to
+
+    x = np.random.default_rng(n).integers(-32768, 32767, n).astype(np.float64)
+    y = resample_to(x, sr, tgt)
+    assert y.shape == (int(round(n * tgt / sr)),)
+    if y.size:
+        assert y.min() >= x.min() - 1e-9 and y.max() <= x.max() + 1e-9
