@@ -43,6 +43,8 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "text_stats",
     "text_langid",
+    "text_pii_scrub",
+    "text_repetition",
     "doc_fingerprint",
     "sim_topk",
     "sim_ann_lsh",

@@ -171,6 +171,38 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate signals (Gopher-style quality rules):
+    duplicate-word fraction and top-word fraction per document.  Pure
+    JVM — split/explode + two aggregations (both map-side combinable);
+    at 100 TB this is a scan plus one shuffle keyed by (doc_id, word),
+    no Python anywhere.  Oracle: DuckDB recomputes from string_split."""
+    docs = _read(spark, sf_dir, "documents")
+    words_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select(
+        "doc_id",
+        F.size(words_arr).alias("n_words"),
+        F.size(F.array_distinct(words_arr)).alias("n_distinct"),
+        F.explode(words_arr).alias("w"),
+    )
+    counts = base.groupBy("doc_id", "n_words", "n_distinct", "w").count()
+    return (
+        counts.groupBy("doc_id", "n_words", "n_distinct")
+        .agg(F.max("count").alias("top_cnt"))
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias(
+                "top_word_frac"
+            ),
+        )
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
@@ -1021,6 +1053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow_pairs": q_doc_winnow_pairs,
     "text_langid": q_text_langid,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_repetition": q_text_repetition,
     "doc_fingerprint": q_doc_fingerprint,
     "multi_hash": q_multi_hash,
     "fast_mode_hash": q_fast_mode_hash,
@@ -1124,6 +1157,25 @@ ORACLE_SQL: dict[str, str] = {
         select doc_id,
                len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))::BIGINT as n_tokens_bpe
         from documents
+    """,
+    # --- repetition signals recomputed from string_split ---
+    "text_repetition": """
+        with words as (
+          select doc_id, w
+          from documents,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) as t(w)
+        ),
+        tot as (
+          select doc_id, count(*)::BIGINT as n_words,
+                 count(distinct w)::BIGINT as n_distinct
+          from words group by 1
+        ),
+        cnt as (select doc_id, w, count(*) as c from words group by 1, 2),
+        top as (select doc_id, max(c)::BIGINT as top_cnt from cnt group by 1)
+        select t.doc_id, n_words, n_distinct,
+               round(1 - n_distinct::DOUBLE / n_words, 6) as dup_word_frac,
+               round(top_cnt::DOUBLE / n_words, 6) as top_word_frac
+        from tot t join top using (doc_id)
     """,
     # --- PII scrub: Java regex (Spark) vs RE2 (DuckDB) on the common
     # syntax subset; injected tokens built by the same doc_id arithmetic ---

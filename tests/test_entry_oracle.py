@@ -17,6 +17,8 @@ FAST_QUERIES = [
     "dedup_exact_groups",
     "text_stats",
     "text_langid",
+    "text_pii_scrub",
+    "text_repetition",
     "doc_fingerprint",
     "multi_hash",
     "hashdb_roundtrip",
