@@ -807,9 +807,11 @@ def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups genuinely cross batch boundaries and must join via STATE.
 
     Rows-only check by design (stateful streaming LSH is not
-    SQL-expressible); the output is an order-invariant summary — per-clip
-    cluster IDENTITY depends on intra-batch iteration order (either twin
-    may seed), but the counts (clips, join events, clusters) do not.
+    SQL-expressible); the output is a count summary — per-clip cluster
+    IDENTITY depends on intra-batch iteration order (either twin may
+    seed), and when twins seed DIFFERENT band keys of one batch even
+    the join count can shift, so the summary is stable for a fixed
+    source file layout rather than order-invariant in general.
     """
     import shutil
     import tempfile
@@ -881,8 +883,10 @@ def q_stream_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow over the clips fixture dir in micro-batches, so
     similar-sounding clips genuinely join across batch boundaries via
     state.  Rows-only summary for the same reason as
-    stream_neardup_assign (per-clip cluster identity depends on
-    intra-batch seeding order; the counts do not)."""
+    stream_neardup_assign: per-clip cluster identity (and, when twins
+    seed DIFFERENT buckets of the same batch, even the join counts)
+    depends on intra-batch seeding order — stable for a fixed source
+    file layout, not order-invariant in general."""
     import shutil
     import tempfile
 
