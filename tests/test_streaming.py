@@ -95,6 +95,40 @@ def test_stream_embed_neardup_band_state(spark, tmp_path):
     assert a["joined_existing"] or b["joined_existing"]
 
 
+def test_stream_embed_state_survives_restart(spark, tmp_path):
+    """The operator's core claim — a near-dup arriving AFTER a full
+    query shutdown still joins the original's cluster — requires the
+    (table, bucket) -> (rep, embedding) state to round-trip through the
+    state store across two separate availableNow runs sharing one
+    checkpoint dir."""
+    from quichash_spark.fixtures import CLIPS_SCHEMA
+    from quichash_spark.fixtures.clips import clip_row
+    from quichash_spark.streaming.cluster import stream_embed_neardup_assign
+
+    src = tmp_path / "clips_rs"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ckpt_rs"), str(tmp_path / "out_rs")
+    # run 1: only the base clip (and two unrelated) — seeds the buckets
+    b1 = spark.createDataFrame([clip_row(i) for i in (0, 4, 14)], CLIPS_SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    got1 = stream_embed_neardup_assign(spark, str(src) + "/*/", ckpt, out)
+    assert {r["clip_id"] for r in got1.collect()} == {
+        "clip_00000000", "clip_00000004", "clip_00000014"
+    }
+    # full query shutdown happened (availableNow terminated); new files
+    # arrive, a SECOND run resumes from the same checkpoint
+    b2 = spark.createDataFrame([clip_row(i) for i in (6, 15)], CLIPS_SCHEMA)
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    got2 = stream_embed_neardup_assign(spark, str(src) + "/*/", ckpt, out)
+    rows = {r["clip_id"]: r for r in got2.collect()}
+    assert len(rows) == 5  # run 2 appended ONLY the new clips
+    nd = rows["clip_00000015"]
+    # the noisy copy joined the cluster seeded in run 1, through state
+    assert nd["joined_existing"]
+    assert nd["cluster_id"] == "clip_00000014"
+    assert not rows["clip_00000006"]["joined_existing"]
+
+
 def test_stream_scan_to_db_matches_batch(spark, tmp_path):
     """Streaming scan->DB sink: the standard-format database accumulated
     across micro-batches equals the batch scan of the same corpus, and
