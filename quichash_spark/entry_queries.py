@@ -852,18 +852,22 @@ def q_audio_pair_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquets with the same case expression."""
     from quichash_spark.fixtures import materialized_clips
     from quichash_spark.functions.audio_embed import (
-        NEARDUP_THRESHOLD, compute_audio_embeddings,
+        ANN_NEARDUP_PARAMS, EMBED_DIM, NEARDUP_THRESHOLD,
+        compute_audio_embeddings,
     )
     from quichash_spark.functions.fingerprint import compute_fingerprints
     from quichash_spark.operators.fingerprint_match import fingerprint_pairs
-    from quichash_spark.operators.similarity import neardup_pairs
+    from quichash_spark.operators.similarity import neardup_pairs_ann
 
     clips = materialized_clips(spark, _clips_n(sf_dir))
     fp = fingerprint_pairs(compute_fingerprints(clips)).select(
         "clip_a", "clip_b", "aligned_matches"
     )
     emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
-    ep = neardup_pairs(emb.coalesce(8), NEARDUP_THRESHOLD, id_col="clip_id").select(
+    ep = neardup_pairs_ann(
+        emb, NEARDUP_THRESHOLD, EMBED_DIM, id_col="clip_id",
+        **ANN_NEARDUP_PARAMS,
+    ).select(
         F.col("id_a").alias("clip_a"), F.col("id_b").alias("clip_b"), "cosine"
     )
     j = fp.alias("f").join(ep.alias("e"), ["clip_a", "clip_b"], "full_outer")
@@ -962,29 +966,33 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio near-dup channel (functions/audio_embed.py):
     MFCC [mean||std] clip embeddings (shuffle-free mapInPandas over the
-    scan) fed into the embedding dedup stack's ``neardup_pairs``
-    (JVM-side zip_with/aggregate cosine).  Complements audio_fp_pairs:
-    landmarks match the same *recording*; this matches similar
-    *spectral envelopes*.  Scale path for the quadratic baseline is the
-    oracle-checked ANN family (sim_ann_lsh / sim_ivf / sim_pq) over the
-    same embedding column.  Oracle: the same frozen kernel sequentially
-    + Spark-fold-order cosine (oracle/fixture.py::
-    sequential_audio_embed_pairs)."""
+    scan) fed into hyperplane-LSH candidate buckets + exact-cosine
+    verification (``neardup_pairs_ann`` — JVM-side zip_with/aggregate
+    cosine, candidates from a bucket equi-join, no CartesianProduct/BNLJ
+    node; plan-asserted in tests/test_plans.py).  Complements
+    audio_fp_pairs: landmarks match the same *recording*; this matches
+    similar *spectral envelopes*.  ANN params sit above the recall knee
+    for the 0.985 threshold (ANN_NEARDUP_PARAMS — measured recall 1.0
+    vs all-pairs at the 5000-clip fixture, min 3/16 table collisions
+    per true pair), so the output rows equal the all-pairs baseline.
+    Oracle: the same frozen kernel sequentially + Spark-fold-order
+    cosine (oracle/fixture.py::sequential_audio_embed_pairs)."""
     from quichash_spark.fixtures import materialized_clips
     from quichash_spark.functions.audio_embed import (
-        NEARDUP_THRESHOLD, compute_audio_embeddings,
+        ANN_NEARDUP_PARAMS, EMBED_DIM, NEARDUP_THRESHOLD,
+        compute_audio_embeddings,
     )
-    from quichash_spark.operators.similarity import neardup_pairs
+    from quichash_spark.operators.similarity import neardup_pairs_ann
 
     clips = materialized_clips(spark, _clips_n(sf_dir))
     # eager checkpoint: both self-join branches reuse the embedding
     # batches instead of running the MFCC kernel twice (same pattern as
     # fingerprint_pairs)
     emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
-    # 8x8 cartesian partition grid measured fastest here (the pushed-down
-    # cosine predicate stays in codegen; BroadcastNestedLoopJoin evaluates
-    # it interpreted and ran ~2x slower, P*P=576 tiny tasks ~20% slower)
-    return neardup_pairs(emb.coalesce(8), NEARDUP_THRESHOLD, id_col="clip_id")
+    return neardup_pairs_ann(
+        emb, NEARDUP_THRESHOLD, EMBED_DIM, id_col="clip_id",
+        **ANN_NEARDUP_PARAMS,
+    )
 
 
 def q_audio_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,14 +1005,18 @@ def q_audio_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree with an independent engine on real string clip ids."""
     from quichash_spark.fixtures import materialized_clips
     from quichash_spark.functions.audio_embed import (
-        NEARDUP_THRESHOLD, compute_audio_embeddings,
+        ANN_NEARDUP_PARAMS, EMBED_DIM, NEARDUP_THRESHOLD,
+        compute_audio_embeddings,
     )
     from quichash_spark.operators.connected_components import connected_components
-    from quichash_spark.operators.similarity import neardup_pairs
+    from quichash_spark.operators.similarity import neardup_pairs_ann
 
     clips = materialized_clips(spark, _clips_n(sf_dir))
     emb = compute_audio_embeddings(clips).localCheckpoint(eager=True)
-    pairs = neardup_pairs(emb.coalesce(8), NEARDUP_THRESHOLD, id_col="clip_id")
+    pairs = neardup_pairs_ann(
+        emb, NEARDUP_THRESHOLD, EMBED_DIM, id_col="clip_id",
+        **ANN_NEARDUP_PARAMS,
+    )
     edges = pairs.select(
         F.col("id_a").alias("clip_a"), F.col("id_b").alias("clip_b")
     )

@@ -78,6 +78,17 @@ EMBED_CONFIG = AudioEmbedConfig()
 #: docstring for the measured fixture separation behind this value)
 NEARDUP_THRESHOLD = 0.985
 
+#: embedding dimensionality: [mean || std] over MFCC c1..c(n_mfcc-1)
+EMBED_DIM = 2 * (EMBED_CONFIG.n_mfcc - 1)
+
+#: hyperplane-LSH candidate-generation parameters for the perceptual
+#: channel (operators/similarity.neardup_pairs_ann).  Chosen above the
+#: recall knee for NEARDUP_THRESHOLD on this kernel's embeddings:
+#: measured recall 1.0 at the 5000-clip fixture, minimum 3/16 table
+#: collisions per true pair, recall 1.0 across 6 alternative seeds
+#: (tests/test_similarity.py::test_neardup_ann_matches_allpairs).
+ANN_NEARDUP_PARAMS = {"n_planes": 12, "n_tables": 16, "seed": 7}
+
 
 @lru_cache(maxsize=32)  # few distinct (sr, cfg) per corpus; ~20%/clip
 def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:

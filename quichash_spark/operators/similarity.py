@@ -100,8 +100,8 @@ def topk_bruteforce(
 def neardup_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id",
                   vec: str = "embedding", broadcast: bool = False) -> DataFrame:
     """All unordered pairs with cosine >= threshold (embedding near-dup
-    channel of the dedup stack).  Baseline all-pairs form; at scale use
-    ``ann_lsh_topk`` buckets to generate candidates first.
+    channel of the dedup stack).  Baseline all-pairs form; the scale path
+    with the identical output contract is ``neardup_pairs_ann``.
 
     ``broadcast`` hints the build side explicitly.  Needed when
     ``corpus`` has no catalog stats (e.g. a localCheckpoint'd kernel
@@ -124,6 +124,93 @@ def neardup_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id",
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot("qv", "nv") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def neardup_pairs_ann(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """``neardup_pairs`` with LSH candidate generation instead of the
+    quadratic self cross join: same output contract (unordered pairs,
+    exact fold-order cosine >= threshold, round 6), but candidates come
+    from an equi-join on random-hyperplane sign buckets across
+    ``n_tables`` independent tables, so the plan has NO
+    CartesianProduct / BroadcastNestedLoopJoin node and the pair count
+    scales with bucket collisions, not n^2.
+
+    Recall: a pair at cosine ``s`` collides in one table with
+    probability ``(1 - acos(s)/pi)^n_planes``; union over tables.  For
+    the audio MFCC channel (threshold 0.985, dim 30) the defaults give
+    measured recall 1.0 at the 5000-clip fixture with every true pair
+    colliding in >= 3 of the 16 tables (and recall 1.0 across 6
+    alternative plane seeds) — see tests/test_similarity.py.  Raise
+    ``n_tables`` (or lower ``n_planes``) to push the knee further for
+    lower thresholds.
+
+    Scale notes (10^12 rows):
+    - candidate pairs carry both embedding vectors through ONE shuffle
+      (the bucket equi-join) plus a dedup exchange; at dim 30 that is
+      ~0.5 KB/pair.  For very high-dim embeddings generate slim
+      (id_a, id_b) pairs instead and re-join vectors (two extra
+      shuffles, less I/O per pair).
+    - ``bucket_cap`` applies the same cap-BEFORE-pair-expansion
+      discipline as the MinHash LSH stage (operators/lsh.py): buckets
+      with more than ``bucket_cap`` members are excluded from pair
+      generation (a degenerate embedding owned by millions of rows
+      would otherwise expand quadratically).  Capped-out true pairs are
+      still reachable via the other tables.
+    - the join key is (table_idx, bucket): AQE skew-join can split a
+      residual hot bucket below the cap.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    buckets = hyperplane_buckets_udf(planes)
+
+    # norm folded once per input vector; posexplode replicates the value
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec).alias("v"),
+        _norm(vec).alias("vn"),
+        F.posexplode(buckets(F.col(vec))).alias("table_idx", "bucket"),
+    )
+    if bucket_cap is not None:
+        sizes = base.groupBy("table_idx", "bucket").agg(
+            F.count("*").alias("bucket_n")
+        )
+        base = base.join(
+            sizes.filter(F.col("bucket_n") <= bucket_cap).drop("bucket_n"),
+            ["table_idx", "bucket"],
+        )
+    a = base.select(
+        "table_idx", "bucket",
+        F.col("vid").alias("id_a"), F.col("v").alias("qv"),
+        F.col("vn").alias("na"),
+    )
+    b = base.select(
+        "table_idx", "bucket",
+        F.col("vid").alias("id_b"), F.col("v").alias("nv"),
+        F.col("vn").alias("nb"),
+    )
+    cands = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # same pair can collide in several tables; dedup BEFORE the
+        # cosine fold so each survivor pays it once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands
         .withColumn("cosine", _dot("qv", "nv") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -103,3 +103,17 @@ def test_ann_plan_build_submits_no_probe_job(spark):
         "beyond the bare parquet read"
     )
     assert df.count() > 0  # the plan still runs
+
+
+def test_audio_embed_queries_have_no_quadratic_join(spark):
+    """VERDICT r4 #1: the registered audio-embedding queries must build
+    candidates via the hyperplane-bucket equi-join — no CartesianProduct
+    or BroadcastNestedLoopJoin node anywhere in their executed plans."""
+    from quichash_spark.entry_queries import QUERIES
+
+    for key in ("audio_embed_neardup", "audio_sem_dedup",
+                "audio_pair_verdict"):
+        df = QUERIES[key](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key

@@ -69,3 +69,60 @@ def test_ann_deterministic(emb):
     a = _pairs(ann_lsh_topk(q, emb, k=3, dim=dim))
     b = _pairs(ann_lsh_topk(q, emb, k=3, dim=dim))
     assert a == b
+
+
+def test_neardup_ann_matches_allpairs(spark, tiny_clips):
+    """neardup_pairs_ann must return EXACTLY the all-pairs rows (ids and
+    round-6 cosines) at the audio channel's registered config — the
+    contract that let the registered audio queries drop the cross join
+    without touching their oracle fixtures."""
+    from quichash_spark.functions.audio_embed import (
+        ANN_NEARDUP_PARAMS, EMBED_DIM, NEARDUP_THRESHOLD,
+        compute_audio_embeddings,
+    )
+    from quichash_spark.operators.similarity import (
+        neardup_pairs, neardup_pairs_ann,
+    )
+
+    emb = compute_audio_embeddings(tiny_clips).localCheckpoint(eager=True)
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in neardup_pairs(emb, NEARDUP_THRESHOLD, id_col="clip_id",
+                               broadcast=True).collect()
+    }
+    ann = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in neardup_pairs_ann(
+            emb, NEARDUP_THRESHOLD, EMBED_DIM, id_col="clip_id",
+            **ANN_NEARDUP_PARAMS,
+        ).collect()
+    }
+    assert exact, "fixture produced no near-dup pairs — test is vacuous"
+    assert ann == exact
+
+
+def test_neardup_ann_bucket_cap_drops_only_capped(spark, tiny_clips):
+    """bucket_cap=1 kills every bucket (no pairs); a generous cap is a
+    no-op — cap-before-expansion semantics, same as the MinHash LSH
+    stage."""
+    from quichash_spark.functions.audio_embed import (
+        ANN_NEARDUP_PARAMS, EMBED_DIM, NEARDUP_THRESHOLD,
+        compute_audio_embeddings,
+    )
+    from quichash_spark.operators.similarity import neardup_pairs_ann
+
+    emb = compute_audio_embeddings(tiny_clips).localCheckpoint(eager=True)
+    none = neardup_pairs_ann(
+        emb, NEARDUP_THRESHOLD, EMBED_DIM, id_col="clip_id",
+        bucket_cap=1, **ANN_NEARDUP_PARAMS,
+    )
+    assert none.count() == 0
+    uncapped = neardup_pairs_ann(
+        emb, NEARDUP_THRESHOLD, EMBED_DIM, id_col="clip_id",
+        **ANN_NEARDUP_PARAMS,
+    ).count()
+    generous = neardup_pairs_ann(
+        emb, NEARDUP_THRESHOLD, EMBED_DIM, id_col="clip_id",
+        bucket_cap=10_000, **ANN_NEARDUP_PARAMS,
+    ).count()
+    assert generous == uncapped > 0
