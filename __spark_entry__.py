@@ -6,15 +6,15 @@ entry():      flagship — full near-dup pipeline (signatures -> exact dedup
               corpus, returning per-cluster summaries.
 queries():    one entry per implemented operator (SURVEY.md §2 + the
               training-data extensions); see quichash_spark.entry_queries.
-oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query.  The
-              flagship clip-pipeline stages and the doc simhash/winnow ops
-              are checked against parquet fixtures materialized by
-              independent sequential implementations (brute-force numpy
-              oracle / plain-Python LSH replica — see
-              quichash_spark/oracle/fixture.py); only streaming
-              (stream_neardup_assign) and video (AVI parse) are
-              rows-only — ANN compares against sequential numpy
-              replicas via fixtures.
+oracle_sql(): DuckDB-equivalent SQL for EVERY query.  Queries DuckDB
+              cannot derive itself (flagship clip-pipeline stages, doc
+              simhash/winnow, ANN, audio fingerprint/embedding, AVI
+              video, the stateful streaming assignments) are checked
+              against parquet fixtures materialized by independent
+              sequential implementations (brute-force numpy oracle /
+              dict-and-loop replicas / micro-batch replay — see
+              quichash_spark/oracle/fixture.py), so no registered query
+              is rows-only.
 """
 
 from __future__ import annotations
@@ -109,5 +109,23 @@ def oracle_sql() -> dict[str, str]:
         from quichash_spark.entry_queries import AEMB_FIXTURE_KEYS
 
         for k in AEMB_FIXTURE_KEYS:
+            out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_video_fixture
+
+        ensure_video_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import VIDEO_FIXTURE_KEYS
+
+        for k in VIDEO_FIXTURE_KEYS:
+            out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_stream_fixture
+
+        ensure_stream_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import STREAM_FIXTURE_KEYS
+
+        for k in STREAM_FIXTURE_KEYS:
             out.pop(k, None)
     return out

@@ -767,8 +767,11 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality end-to-end (functions/video.py): deterministic
     synthetic AVI payloads generated executor-side (pure function of the
     index), parsed + frame-sampled + perceptually hashed by
-    ``video_features``.  Rows-only by design (DuckDB cannot parse AVI);
-    every output column is deterministic."""
+    ``video_features``.  Value-checked (VERDICT r4 #3): DuckDB cannot
+    parse AVI, so the oracle reads rows materialized by the same frozen
+    kernels run item-by-item driver-side
+    (oracle/fixture.py::sequential_video_features) — the fp/aemb
+    fixture pattern."""
     import numpy as np
     import pandas as pd
 
@@ -802,44 +805,41 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-duplicate assignment (streaming/cluster.py band-key
-    state) as a driver query: availableNow over the deterministic clips
-    fixture dir, split into micro-batches (maxFilesPerTrigger) so
-    near-dups genuinely cross batch boundaries and must join via STATE.
+    state) as a driver query: availableNow over the DETERMINISTIC stream
+    layout (fixtures.materialized_clips_stream — mtime-ordered chunk
+    files), split into micro-batches (maxFilesPerTrigger) so near-dups
+    genuinely cross batch boundaries and must join via STATE.
 
-    Rows-only check by design (stateful streaming LSH is not
-    SQL-expressible); the output is a count summary — per-clip cluster
-    IDENTITY depends on intra-batch iteration order (either twin may
-    seed), and when twins seed DIFFERENT band keys of one batch even
-    the join count can shift, so the summary is stable for a fixed
-    source file layout rather than order-invariant in general.
-    """
+    Value-checked (VERDICT r4 #2): batch membership is a pure function
+    of the layout, and the stateful operator seeds each new band key
+    with the min-clip_id presenter of the micro-batch (_sorted_group),
+    so the full per-clip assignment is order-invariant and compared
+    hash-exact against a dict-and-loop sequential replica
+    (oracle/fixture.py::sequential_stream_neardup)."""
     import shutil
     import tempfile
 
-    from quichash_spark.fixtures import FIXTURE_VERSION, materialized_clips
+    from quichash_spark.fixtures import (
+        STREAM_FILES_PER_TRIGGER, materialized_clips_stream,
+    )
     from quichash_spark.streaming.cluster import stream_near_dup_assign
 
-    n = _clips_n(sf_dir)
-    materialized_clips(spark, n)  # ensure the corpus parquet exists
-    src = f"/tmp/quichash_clips/v{FIXTURE_VERSION}_n{n}"
+    src = materialized_clips_stream(_clips_n(sf_dir))
     root = tempfile.mkdtemp(prefix="qh_sneardup_")
     try:
         out = stream_near_dup_assign(
             spark, src,
             checkpoint_dir=os.path.join(root, "ckpt"),
             out_dir=os.path.join(root, "out"),
-            max_files_per_trigger=2,
-        )
-        summary = out.agg(
-            F.count("*").cast("long").alias("n_clips"),
-            F.sum(F.col("joined_existing").cast("long")).alias("n_joined_existing"),
-            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            max_files_per_trigger=STREAM_FILES_PER_TRIGGER,
         )
         # materialize before the temp dirs vanish (executor-side blocks)
-        summary = summary.localCheckpoint(eager=True)
+        res = out.select(
+            "clip_id", "cluster_id", "joined_existing"
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return summary
+    return res
 
 
 def q_audio_pair_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,39 +884,35 @@ def q_audio_pair_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PERCEPTUAL near-dup assignment (streaming/cluster.py
     hyperplane-bucket state over MFCC embeddings) as a driver query:
-    availableNow over the clips fixture dir in micro-batches, so
-    similar-sounding clips genuinely join across batch boundaries via
-    state.  Rows-only summary for the same reason as
-    stream_neardup_assign: per-clip cluster identity (and, when twins
-    seed DIFFERENT buckets of the same batch, even the join counts)
-    depends on intra-batch seeding order — stable for a fixed source
-    file layout, not order-invariant in general."""
+    availableNow over the deterministic stream layout in micro-batches,
+    so similar-sounding clips genuinely join across batch boundaries via
+    state.  Value-checked like stream_neardup_assign (VERDICT r4 #2):
+    min-clip_id seeding within each batch + fixed batch membership make
+    the full per-clip assignment order-invariant; compared hash-exact
+    against oracle/fixture.py::sequential_stream_embed."""
     import shutil
     import tempfile
 
-    from quichash_spark.fixtures import FIXTURE_VERSION, materialized_clips
+    from quichash_spark.fixtures import (
+        STREAM_FILES_PER_TRIGGER, materialized_clips_stream,
+    )
     from quichash_spark.streaming.cluster import stream_embed_neardup_assign
 
-    n = _clips_n(sf_dir)
-    materialized_clips(spark, n)
-    src = f"/tmp/quichash_clips/v{FIXTURE_VERSION}_n{n}"
+    src = materialized_clips_stream(_clips_n(sf_dir))
     root = tempfile.mkdtemp(prefix="qh_sembed_")
     try:
         out = stream_embed_neardup_assign(
             spark, src,
             checkpoint_dir=os.path.join(root, "ckpt"),
             out_dir=os.path.join(root, "out"),
-            max_files_per_trigger=2,
+            max_files_per_trigger=STREAM_FILES_PER_TRIGGER,
         )
-        summary = out.agg(
-            F.count("*").cast("long").alias("n_clips"),
-            F.sum(F.col("joined_existing").cast("long")).alias("n_joined_existing"),
-            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
-        )
-        summary = summary.localCheckpoint(eager=True)
+        res = out.select(
+            "clip_id", "cluster_id", "joined_existing"
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return summary
+    return res
 
 
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,6 +1122,8 @@ from quichash_spark.oracle.fixture import (  # noqa: E402
     docs_fixture_dir,
     fp_fixture_dir,
     media_fixture_dir,
+    stream_fixture_dir,
+    video_fixture_dir,
 )
 
 _CLIPS_FIX = clips_fixture_dir(DRIVER_N_CLIPS)
@@ -1134,6 +1132,8 @@ _ANN_FIX = ann_fixture_dir()
 _MEDIA_FIX = media_fixture_dir()
 _FP_FIX = fp_fixture_dir()
 _AEMB_FIX = aemb_fixture_dir()
+_STREAM_FIX = stream_fixture_dir()
+_VIDEO_FIX = video_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -1151,6 +1151,8 @@ MEDIA_FIXTURE_KEYS = ("media_probe",)
 FP_FIXTURE_KEYS = ("audio_fp_pairs", "audio_pair_verdict")
 AEMB_FIXTURE_KEYS = ("audio_embed_neardup", "audio_sem_dedup",
                      "audio_pair_verdict")
+STREAM_FIXTURE_KEYS = ("stream_neardup_assign", "stream_embed_assign")
+VIDEO_FIXTURE_KEYS = ("video_features",)
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1591,6 +1593,23 @@ ORACLE_SQL: dict[str, str] = {
         from read_parquet('{_FP_FIX}/fp_pairs.parquet') f
         full join read_parquet('{_AEMB_FIX}/embed_pairs.parquet') e
           on f.clip_a = e.id_a and f.clip_b = e.id_b
+    """,
+    # --- sequential AVI parse + phash replica (DuckDB cannot parse AVI;
+    # the kernels run item-by-item driver-side, rows read back) ---
+    "video_features": f"""
+        select item_id, decode_ok, n_frames, width, height, fps,
+               phash_concat, mean_luma
+        from read_parquet('{_VIDEO_FIX}/video_features.parquet')
+    """,
+    # --- sequential micro-batch-replay oracles for the two stateful
+    # streaming operators (deterministic stream layout; VERDICT r4 #2) ---
+    "stream_neardup_assign": f"""
+        select clip_id, cluster_id, joined_existing
+        from read_parquet('{_STREAM_FIX}/stream_neardup.parquet')
+    """,
+    "stream_embed_assign": f"""
+        select clip_id, cluster_id, joined_existing
+        from read_parquet('{_STREAM_FIX}/stream_embed.parquet')
     """,
     # --- sequential-replica oracle for the MFCC embedding channel ---
     "audio_embed_neardup": f"""

@@ -716,3 +716,252 @@ def ensure_docs_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
         ).to_parquet(os.path.join(tmp, "doc_winnow.parquet"), index=False)
 
     return _atomic_build(target, build)
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup assignment replicas (deterministic micro-batch replay)
+# ---------------------------------------------------------------------------
+
+
+def _stream_batches(n: int, n_files: int, per_trigger: int) -> list[list[int]]:
+    """Clip-index membership of each micro-batch under the deterministic
+    stream layout (fixtures.materialized_clips_stream): chunk ``k`` holds
+    indices ``[k*ceil(n/n_files), ...)``; batch ``b`` reads chunks
+    ``[b*per_trigger, (b+1)*per_trigger)`` (file-source mtime order)."""
+    chunk = -(-n // n_files)
+    out = []
+    for b0 in range(0, n_files, per_trigger):
+        idxs = [
+            i
+            for k in range(b0, min(b0 + per_trigger, n_files))
+            for i in range(k * chunk, min((k + 1) * chunk, n))
+        ]
+        if idxs:
+            out.append(idxs)
+    return out
+
+
+def sequential_stream_neardup(
+    n: int,
+    n_files: int | None = None,
+    per_trigger: int | None = None,
+    cfg: DedupConfig = CLIPS_CONFIG,
+) -> pd.DataFrame:
+    """Dict-and-loop replica of streaming/cluster.stream_near_dup_assign
+    over the deterministic stream layout: band-key state seeded by the
+    min-clip_id presenter within each micro-batch (the operator sorts
+    every state group by clip_id — _sorted_group), per-batch min-rep
+    reduction.  Returns (clip_id, cluster_id, joined_existing), one row
+    per decodable clip."""
+    from quichash_spark.fixtures import (
+        STREAM_FILES_PER_TRIGGER, STREAM_LAYOUT_FILES,
+    )
+
+    n_files = STREAM_LAYOUT_FILES if n_files is None else n_files
+    per_trigger = STREAM_FILES_PER_TRIGGER if per_trigger is None else per_trigger
+    rows = sequential_signature_rows(n, cfg)
+    nb = cfg.bands
+    state: dict[tuple[int, int], str] = {}
+    out = []
+    for batch in _stream_batches(n, n_files, per_trigger):
+        clips = sorted(
+            (rows[i] for i in batch if rows[i]["decode_ok"]),
+            key=lambda r: r["clip_id"],
+        )
+        for r in clips:
+            cid = r["clip_id"]
+            keys = list(hashing.band_hashes(r["mh_text"], nb, cfg.rows)) + list(
+                hashing.band_hashes(r["mh_pcm"], nb, cfg.rows)
+            )
+            match: str | None = None
+            for bidx, bkey in enumerate(keys):
+                sk = (bidx, int(bkey))
+                rep = state.get(sk)
+                if rep is None:
+                    state[sk] = cid
+                elif rep != cid and (match is None or rep < match):
+                    match = rep
+            out.append({
+                "clip_id": cid,
+                "cluster_id": match if match is not None else cid,
+                "joined_existing": match is not None,
+            })
+    return pd.DataFrame(
+        out, columns=["clip_id", "cluster_id", "joined_existing"]
+    )
+
+
+def sequential_stream_embed(
+    n: int,
+    n_files: int | None = None,
+    per_trigger: int | None = None,
+    threshold: float | None = None,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Replica of streaming/cluster.stream_embed_neardup_assign: the same
+    frozen MFCC kernel clip-by-clip, hyperplane bucket bits via the same
+    batched matmul the UDF runs (one GEMM per micro-batch), bucket state
+    carrying the seeder's float64 embedding, exact-cosine verify at the
+    batch channel's threshold, per-batch min-rep reduction."""
+    from quichash_spark.fixtures import (
+        STREAM_FILES_PER_TRIGGER, STREAM_LAYOUT_FILES,
+    )
+    from quichash_spark.functions.audio_embed import (
+        EMBED_DIM, NEARDUP_THRESHOLD,
+    )
+
+    n_files = STREAM_LAYOUT_FILES if n_files is None else n_files
+    per_trigger = STREAM_FILES_PER_TRIGGER if per_trigger is None else per_trigger
+    if threshold is None:
+        threshold = NEARDUP_THRESHOLD
+    ids, vecs = _sequential_audio_embeddings(n)
+    by_id = dict(zip(ids, vecs))
+    idx_of = {cid: int(cid.split("_")[-1]) for cid in ids}
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, n_planes, EMBED_DIM)
+    )
+    flat = planes.reshape(n_tables * n_planes, -1)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    state: dict[tuple[int, int], tuple[str, np.ndarray]] = {}
+    out = []
+    id_set = set(ids)
+    for batch in _stream_batches(n, n_files, per_trigger):
+        cids = sorted(
+            cid for cid in id_set if idx_of[cid] in set(batch)
+        )
+        if not cids:
+            continue
+        mat = np.asarray(
+            [np.asarray(by_id[c], dtype=np.float64) for c in cids]
+        )
+        signs = (mat @ flat.T) > 0
+        bits = signs.reshape(len(cids), n_tables, n_planes) @ weights
+        for row, cid in enumerate(cids):
+            v = mat[row]
+            match: str | None = None
+            for tidx in range(n_tables):
+                sk = (tidx, int(bits[row, tidx]))
+                hit = state.get(sk)
+                if hit is None:
+                    state[sk] = (cid, v)
+                else:
+                    rep, rep_emb = hit
+                    if (
+                        rep != cid
+                        and float(v @ rep_emb) >= threshold
+                        and (match is None or rep < match)
+                    ):
+                        match = rep
+            out.append({
+                "clip_id": cid,
+                "cluster_id": match if match is not None else cid,
+                "joined_existing": match is not None,
+            })
+    return pd.DataFrame(
+        out, columns=["clip_id", "cluster_id", "joined_existing"]
+    )
+
+
+def stream_fixture_dir(n: int = DRIVER_N_CLIPS) -> str:
+    from quichash_spark.fixtures import (
+        STREAM_FILES_PER_TRIGGER, STREAM_LAYOUT_FILES,
+    )
+    from quichash_spark.functions.audio_embed import EMBED_CONFIG
+
+    return os.path.join(
+        ROOT,
+        f"stream_k{CLIPS_CONFIG.kernel_version}_e{EMBED_CONFIG.embed_version}"
+        f"_f{FIXTURE_VERSION}_o{ORACLE_FIXTURE_VERSION}_n{n}"
+        f"_l{STREAM_LAYOUT_FILES}x{STREAM_FILES_PER_TRIGGER}",
+    )
+
+
+def ensure_stream_fixture(n: int = DRIVER_N_CLIPS) -> str:
+    target = stream_fixture_dir(n)
+
+    def build(tmp: str) -> None:
+        sequential_stream_neardup(n).to_parquet(
+            os.path.join(tmp, "stream_neardup.parquet"), index=False
+        )
+        sequential_stream_embed(n).to_parquet(
+            os.path.join(tmp, "stream_embed.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)
+
+
+# ---------------------------------------------------------------------------
+# video features replica (AVI parse + phash, plain sequential Python)
+# ---------------------------------------------------------------------------
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Spark F.round semantics at an arbitrary scale (see _round_half_up6)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+#: the driver video query's corpus-size contract (entry_queries
+#: q_video_features: max(20, n_clips // 25) at sf0.01 -> 500 // 25)
+DRIVER_N_VIDEOS = 20
+
+
+def sequential_video_features(n: int = DRIVER_N_VIDEOS) -> pd.DataFrame:
+    """Sequential replica of q_video_features: the same deterministic
+    AVI generator and the same frozen parse/phash kernels
+    (functions/video.py, functions/multimodal.py) run item-by-item on
+    the driver — no Spark, no Arrow, no mapInPandas.  A hash match
+    proves the distributed batching/schema machinery is faithful to the
+    kernels (the fp/aemb fixture pattern; DuckDB cannot parse AVI, so
+    the oracle SQL reads these materialized rows back)."""
+    from quichash_spark.functions.multimodal import (
+        _phash8, frame_sample_indices,
+    )
+    from quichash_spark.functions.video import decode_avi, encode_avi
+
+    out = []
+    for i in range(n):
+        rng = np.random.default_rng([77, i])
+        frames_in = rng.integers(
+            0, 256, (int(rng.integers(4, 12)), 16, 16, 3), dtype=np.uint8
+        )
+        payload = encode_avi(frames_in, fps=float(rng.integers(5, 31)))
+        frames, fps = decode_avi(payload)
+        idx = frame_sample_indices(frames.shape[0], 4)
+        luma = float(
+            (frames.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
+        ) if frames.size else 0.0
+        out.append({
+            "item_id": f"vid_{i:06d}",
+            "decode_ok": True,
+            "n_frames": int(frames.shape[0]),
+            "width": int(frames.shape[2]),
+            "height": int(frames.shape[1]),
+            "fps": _round_half_up(float(fps), 3),
+            "phash_concat": "|".join(_phash8(frames[j]) for j in idx),
+            "mean_luma": _round_half_up(luma, 6),
+        })
+    df = pd.DataFrame(out)
+    return df.astype({"n_frames": "int32", "width": "int32", "height": "int32"})
+
+
+def video_fixture_dir(n: int = DRIVER_N_VIDEOS) -> str:
+    return os.path.join(
+        ROOT, f"video_o{ORACLE_FIXTURE_VERSION}_n{n}"
+    )
+
+
+def ensure_video_fixture(n: int = DRIVER_N_VIDEOS) -> str:
+    target = video_fixture_dir(n)
+
+    def build(tmp: str) -> None:
+        sequential_video_features(n).to_parquet(
+            os.path.join(tmp, "video_features.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)

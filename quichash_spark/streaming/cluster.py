@@ -40,6 +40,21 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "rep string, n long"
 
 
+def _sorted_group(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    """Concatenate a state group's micro-batch rows and sort by clip_id:
+    within one micro-batch the min-clip_id presenter of a new key seeds
+    the state, making every assignment a pure function of BATCH
+    MEMBERSHIP (which the deterministic stream layout fixes) instead of
+    intra-batch shuffle/iteration order.  O(group rows) per batch — the
+    same rows were already being iterated."""
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return pd.DataFrame()
+    return pd.concat(parts, ignore_index=True).sort_values(
+        "clip_id", kind="mergesort"
+    )
+
+
 def _assign(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -52,7 +67,8 @@ def _assign(
         "clip_id": [], "content_hash": [], "cluster_id": [],
         "member_n": [], "is_first": [],
     }
-    for pdf in pdfs:
+    pdf = _sorted_group(pdfs)
+    if len(pdf):
         for cid in pdf["clip_id"]:
             first = rep is None
             if first:
@@ -143,7 +159,8 @@ def _band_assign(
     out: dict[str, list] = {
         "clip_id": [], "band_idx": [], "band_key": [], "rep": [], "is_new": [],
     }
-    for pdf in pdfs:
+    pdf = _sorted_group(pdfs)
+    if len(pdf):
         for cid in pdf["clip_id"]:
             first = rep is None
             if first:
@@ -286,7 +303,8 @@ def _emb_band_assign(
         "clip_id": [], "band_idx": [], "band_key": [], "rep": [],
         "is_new": [], "cosine": [],
     }
-    for pdf in pdfs:
+    pdf = _sorted_group(pdfs)
+    if len(pdf):
         for cid, vec in zip(pdf["clip_id"], pdf["embedding"]):
             v = np.asarray(vec, dtype=np.float64)
             first = rep is None
@@ -302,7 +320,8 @@ def _emb_band_assign(
             out["rep"].append(rep)
             out["is_new"].append(first)
             out["cosine"].append(cos)
-    state.update((rep, [float(x) for x in rep_emb]))
+    if rep is not None:
+        state.update((rep, [float(x) for x in rep_emb]))
     yield pd.DataFrame(out)
 
 
