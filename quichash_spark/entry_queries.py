@@ -542,6 +542,91 @@ def q_scan_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_glob_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S6 (wildcard expansion, /root/reference/src/wildcard.rs:
+    23-69) as hard driver signal: the documents table is split into
+    three on-disk source dirs (``src_0..src_2`` by ``doc_id % 3`` —
+    deterministic, so DuckDB can re-derive membership), read back
+    through ONE glob path ``src_*`` resolved by the reader, the source
+    dir recovered per-row from ``input_file_name()``, and rolled up per
+    source.  Wrong glob expansion (missed dir, double-read) shifts the
+    counts and hash-fails."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="qh_glob_")
+    try:
+        for k in range(3):
+            (docs.filter(F.col("doc_id") % 3 == k)
+             .write.mode("overwrite").parquet(os.path.join(root, f"src_{k}")))
+        globbed = spark.read.parquet(os.path.join(root, "src_*"))
+        res = (
+            globbed.withColumn(
+                "src_bucket",
+                F.regexp_extract(F.input_file_name(), r"src_(\d+)/", 1)
+                .cast("int"),
+            )
+            .groupBy("src_bucket")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def q_json_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S9 (JSON report, /root/reference/src/main.rs:149-179):
+    ``sources.reports.write_json_report`` writes a driver-side summary
+    JSON plus the detail rows through the distributed json sink; the
+    query reads BOTH back (explicit schema — at scale inference is a
+    second full pass) and returns a per-lang rollup computed FROM the
+    round-tripped detail, with the summary's totals appended as a
+    ``__total__`` row.  Any value corrupted by the JSON encode/decode
+    leg shifts a rollup row and hash-fails against DuckDB recomputing
+    straight from the parquet table."""
+    import json
+    import shutil
+    import tempfile
+
+    from quichash_spark.sources.reports import write_json_report
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    root = tempfile.mkdtemp(prefix="qh_jsonrep_")
+    try:
+        agg = docs.agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+        ).collect()[0]
+        summary = {
+            "total_docs": int(agg["n"]),
+            "total_chars": int(agg["chars"]),
+        }
+        write_json_report(
+            summary, docs.select("doc_id", "lang", "n_chars"), root
+        )
+        detail = spark.read.schema("doc_id long, lang string, n_chars long").json(
+            os.path.join(root, "detail")
+        )
+        with open(os.path.join(root, "summary.json")) as f:
+            back = json.load(f)
+        per_lang = detail.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        total = spark.createDataFrame(
+            [("__total__", back["total_docs"], back["total_chars"])],
+            "lang string, n_docs long, total_chars long",
+        )
+        res = per_lang.unionByName(total).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 def q_top_docs_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference B1/B2 sort+report shape with deterministic tie-break."""
     docs = _read(spark, sf_dir, "documents")
@@ -1080,6 +1165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_new_files": q_anti_new_files,
     "analyze_summary": q_analyze_summary,
     "scan_stats_by_source": q_scan_stats_by_source,
+    "glob_source_rollup": q_glob_source_rollup,
+    "json_report_roundtrip": q_json_report_roundtrip,
     "top_docs_by_chars": q_top_docs_by_chars,
     "sim_topk": q_sim_topk,
     "sim_neardup": q_sim_neardup,
@@ -1449,6 +1536,21 @@ ORACLE_SQL: dict[str, str] = {
     "top_docs_by_chars": """
         select doc_id, n_chars from documents
         order by n_chars desc, doc_id asc limit 10
+    """,
+    # --- S6: glob-expanded multi-dir read; bucket membership re-derived ---
+    "glob_source_rollup": """
+        select (doc_id % 3)::INT as src_bucket, count(*)::BIGINT as n_docs,
+               sum(n_chars)::BIGINT as total_chars
+        from documents group by 1
+    """,
+    # --- S9: JSON report round-trip; rollup recomputed straight from parquet ---
+    "json_report_roundtrip": """
+        select lang, count(*)::BIGINT as n_docs,
+               sum(n_chars)::BIGINT as total_chars
+        from documents where doc_id < 100 group by lang
+        union all
+        select '__total__', count(*)::BIGINT, sum(n_chars)::BIGINT
+        from documents where doc_id < 100
     """,
     "sim_topk": """
         with q as (select vec_id, embedding from embeddings where vec_id < 10),
