@@ -7,8 +7,18 @@ the suggested fix was "a wheel or a C kernel").  ``qh_hash.c`` in this
 directory is a C translation of this repo's own public-spec kernels
 (blake3_pure.py / xxh3_pure.py); here it is built with whatever ``gcc``
 (or ``cc``) the node has — ``-O3 -shared -fPIC``, ~1 s, cached per
-source-hash under ``$QH_CC_CACHE`` (default ``<tmp>/quichash_cc``) —
-and loaded via ctypes.
+source-hash under ``$QH_CC_CACHE`` (default ``<tmp>/quichash_cc_<uid>``,
+created 0700) — and loaded via ctypes.
+
+Loading a shared library executes its constructors, so the cache is
+treated as an attack surface on multi-user nodes: the default dir is
+per-uid and created 0700, and ``_safe_to_load`` refuses any ``.so`` (or
+containing dir) that is not owned by the current uid or is
+group/other-writable — such a library is never dlopen'd; we recompile
+into a fresh private ``mkdtemp`` instead.  The published-vector
+self-check below guards against miscompiles, not against hostile
+libraries — by self-check time a hostile constructor would already have
+run, hence the ownership gate BEFORE ``CDLL``.
 
 Trust model: the library is used only after reproducing the PUBLISHED
 vectors at load time (blake3 empty/"abc"/0x00, xxh3_64(""),
@@ -73,6 +83,24 @@ _U64P = ctypes.POINTER(ctypes.c_uint64)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 
 
+def _owned_private(path: str) -> bool:
+    """True iff ``path`` is owned by the current uid and not writable by
+    group/other — the precondition for trusting a cached artifact enough
+    to dlopen it (or to trust a dir's contents)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    uid = os.geteuid() if hasattr(os, "geteuid") else None
+    if uid is not None and st.st_uid != uid:
+        return False
+    return not (st.st_mode & 0o022)
+
+
+def _safe_to_load(so: str) -> bool:
+    return _owned_private(so) and _owned_private(os.path.dirname(so))
+
+
 def _compile(cache_dir: str, tag: str, src: bytes) -> str | None:
     compiler = shutil.which("gcc") or shutil.which("cc")
     if compiler is None:
@@ -93,7 +121,12 @@ def _compile(cache_dir: str, tag: str, src: bytes) -> str | None:
     ):
         so = os.path.join(cache_dir, f"qh_hash_{tag}_{flavor}.so")
         if os.path.exists(so):
-            return so
+            if _safe_to_load(so):
+                return so
+            _LOG.warning(
+                "cached %s fails the ownership/permission check; "
+                "rebuilding instead of loading it", so,
+            )
         c_path = os.path.join(cache_dir, f"qh_hash_{tag}.c")
         if not os.path.exists(c_path):
             tmp_c = f"{c_path}.tmp.{os.getpid()}"
@@ -162,12 +195,23 @@ def available() -> ctypes.CDLL | None:
         try:
             src = _read_source()
             tag = hashlib.sha256(src).hexdigest()[:16]
+            uid = os.geteuid() if hasattr(os, "geteuid") else "u"
             cache = os.environ.get("QH_CC_CACHE") or os.path.join(
-                tempfile.gettempdir(), "quichash_cc"
+                tempfile.gettempdir(), f"quichash_cc_{uid}"
             )
-            os.makedirs(cache, exist_ok=True)
+            os.makedirs(cache, mode=0o700, exist_ok=True)
+            if not _owned_private(cache):
+                # pre-existing dir owned by someone else / group-writable
+                # (a shared cache is a code-injection vector under a
+                # world-readable tmp): build in a fresh private dir, lose
+                # only cross-process cache reuse
+                _LOG.warning(
+                    "cache dir %s is not a private dir of this user; "
+                    "compiling kernels into a fresh mkdtemp instead", cache,
+                )
+                cache = tempfile.mkdtemp(prefix="quichash_cc_")
             so = _compile(cache, tag, src)
-            if so is not None:
+            if so is not None and _safe_to_load(so):
                 lib = _bind(so)
                 if _selfcheck(lib):
                     _lib = lib
@@ -193,8 +237,31 @@ def _pack(vals: list[bytes]) -> tuple[bytes, np.ndarray, int]:
     return b"".join(vals), offs, n
 
 
+_warned_fallback = False
+
+
+def _fallback_warn() -> None:
+    """Tier selection happens driver-side, but these batch functions run
+    inside executor Python workers on OTHER nodes — a node without gcc
+    (or whose compile/self-check failed) must degrade to the pure
+    kernels, not AttributeError the task ('loses speed, never
+    correctness' holds per-node on heterogeneous clusters)."""
+    global _warned_fallback
+    if not _warned_fallback:
+        _warned_fallback = True
+        _LOG.warning(
+            "C hash kernels unavailable in this worker process; "
+            "falling back to pure-Python spec kernels for this node"
+        )
+
+
 def blake3_hex_batch_cc(vals: list[bytes]) -> list[str]:
     lib = available()
+    if lib is None:
+        _fallback_warn()
+        from quichash_spark.functions.blake3_pure import blake3_hex_batch
+
+        return blake3_hex_batch(vals)
     buf, offs, n = _pack(vals)
     out = np.empty(n * 32, dtype=np.uint8)
     lib.qh_blake3_batch(
@@ -206,6 +273,11 @@ def blake3_hex_batch_cc(vals: list[bytes]) -> list[str]:
 
 def xxh3_64_hex_batch_cc(vals: list[bytes]) -> list[str]:
     lib = available()
+    if lib is None:
+        _fallback_warn()
+        from quichash_spark.functions.xxh3_pure import xxh3_64_hex
+
+        return [xxh3_64_hex(v) for v in vals]
     buf, offs, n = _pack(vals)
     out = np.empty(n, dtype=np.uint64)
     lib.qh_xxh3_64_batch(
@@ -216,6 +288,11 @@ def xxh3_64_hex_batch_cc(vals: list[bytes]) -> list[str]:
 
 def xxh3_128_hex_batch_cc(vals: list[bytes]) -> list[str]:
     lib = available()
+    if lib is None:
+        _fallback_warn()
+        from quichash_spark.functions.xxh3_pure import xxh3_128_hex
+
+        return [xxh3_128_hex(v) for v in vals]
     buf, offs, n = _pack(vals)
     out = np.empty(2 * n, dtype=np.uint64)
     lib.qh_xxh3_128_batch(

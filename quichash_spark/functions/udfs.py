@@ -192,8 +192,11 @@ def signature_record_batch(
         from quichash_spark.functions.audio_embed import mfcc_embedding
 
         srs = rb.column(4).to_pylist()
+        # null sr_hz degrades like a failed decode (null embedding), it
+        # must not TypeError and kill the whole Arrow batch
         embs = [
-            mfcc_embedding(p, int(sr)) if p is not None else None
+            mfcc_embedding(p, int(sr)) if p is not None and sr is not None
+            else None
             for p, sr in zip(pcms, srs)
         ]
         arrays.append(

@@ -24,26 +24,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quichash_spark.config import DedupConfig
+from quichash_spark.operators.cache_scope import CacheScope
 
-#: DataFrames persisted by unified_candidates for the lifetime of ONE
-#: candidate computation.  A long-lived session running many pipelines
-#: would otherwise accumulate cached blocks until LRU pressure; callers
-#: (the pipeline's candidates stage) release them once the returned
-#: DataFrames are materialized.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
+#: Default scope for callers that don't pass their own (ad-hoc
+#: single-pipeline sessions).  Concurrent pipelines MUST each pass a
+#: private :class:`CacheScope` to :func:`unified_candidates` or they
+#: release each other's bucket summaries.
+_DEFAULT_SCOPE = CacheScope()
 
 
 def release_cached() -> None:
-    """Unpersist every intermediate cached by unified_candidates.  Call
-    after the candidate/dropped outputs are materialized (checkpointed)."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    """Unpersist every intermediate cached by unified_candidates calls
+    that used the default scope.  Call after the candidate/dropped
+    outputs are materialized (checkpointed)."""
+    _DEFAULT_SCOPE.release()
 
 
 def band_table(signatures: DataFrame, cfg: DedupConfig, column: str = "minhash_text") -> DataFrame:
@@ -196,12 +190,16 @@ def unified_bucket_table(
 
 def unified_candidates(
     signatures: DataFrame, cfg: DedupConfig, use_pcm: bool = True,
-    strategy: str = "join",
+    strategy: str = "join", scope: CacheScope | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """All candidate channels in one shuffle plan.
 
     Returns (pairs(clip_a, clip_b, source), dropped buckets).  ``source``
     is the comma-joined sorted set of channels that produced the pair.
+    ``scope``: registry for the persisted bucket summaries — pass a
+    per-pipeline :class:`CacheScope` when several pipelines share one
+    session; defaults to the module scope drained by
+    :func:`release_cached`.
 
     Three physical strategies produce identical pairs (test-asserted):
 
@@ -218,6 +216,8 @@ def unified_candidates(
     hot bucket is never buffered into an array at 10^12-row scale, and
     per-bucket pair arrays are bounded by cap^2/2 transient structs.
     """
+    scope = scope if scope is not None else _DEFAULT_SCOPE
+    _persist = scope.persist
     nb = cfg.bands
     n_channels = nb * (2 if use_pcm else 1)
     # The full bucket table is NOT persisted (caching 68 deserialized

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
 
 from quichash_spark.config import DedupConfig
 from quichash_spark.functions import audio, hashing
+from quichash_spark.operators.cache_scope import CacheScope
 
 VERIFIED_SCHEMA = StructType(
     [
@@ -122,21 +123,21 @@ def _text_relation_cols(ta, tb, sh_a, sh_b, cfg: DedupConfig):
 #: broadcast hard limit (and far under typical driver heaps)
 BROADCAST_PAIR_LIMIT = 20_000_000
 
-#: DataFrames persisted by verify_candidates when it must size a
-#: non-checkpointed candidate input itself (``n_candidates is None``).
-#: Mirrors :func:`quichash_spark.operators.lsh.release_cached`: callers in
-#: a long-lived session call :func:`release_cached` after materializing
-#: the verified output, or cached candidate blocks accumulate run over
-#: run.  (Like lsh's, the module-global list assumes one pipeline at a
-#: time per session — concurrent pipelines should pass ``n_candidates``.)
-_PERSISTED: list[DataFrame] = []
+#: Default scope for verify_candidates calls that must size a
+#: non-checkpointed candidate input themselves (``n_candidates is None``)
+#: without a caller-provided scope.  Mirrors
+#: :func:`quichash_spark.operators.lsh.release_cached`: long-lived
+#: sessions call :func:`release_cached` after materializing the verified
+#: output, or cached candidate blocks accumulate run over run.
+#: Concurrent pipelines pass their own :class:`CacheScope` (or the
+#: ``n_candidates`` hint, which skips the persist entirely).
+_DEFAULT_SCOPE = CacheScope()
 
 
 def release_cached() -> None:
     """Unpersist candidate DataFrames cached by verify_candidates calls
-    that had to self-size their input (no ``n_candidates`` hint)."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    that had to self-size their input under the default scope."""
+    _DEFAULT_SCOPE.release()
 
 
 def verify_candidates(
@@ -147,6 +148,7 @@ def verify_candidates(
     broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
     task_mb: int = 32,
     n_candidates: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """candidates(clip_a, clip_b, source) -> verified edges (see module
     docstring for the fast/slow execution split).
@@ -155,16 +157,18 @@ def verify_candidates(
     checkpoint manifest's count).  Without it, ``candidates`` is persisted
     before the sizing ``count()`` so a non-checkpointed input computes its
     DAG exactly once instead of once for sizing and again for the run —
-    long-lived sessions should call :func:`release_cached` once the
-    verified output is materialized (see ``_PERSISTED``).
+    the persist lands in ``scope`` (a per-pipeline :class:`CacheScope`)
+    when given, else in the module default drained by
+    :func:`release_cached` once the verified output is materialized.
     """
     if signatures is None:
         from quichash_spark.functions.udfs import compute_signatures
 
         signatures = compute_signatures(clips, cfg)
     if n_candidates is None:
-        candidates = candidates.persist()
-        _PERSISTED.append(candidates)
+        candidates = (scope if scope is not None else _DEFAULT_SCOPE).persist(
+            candidates
+        )
         n_candidates = candidates.count()
     lite = signatures.select("clip_id", "pcm_hash", "simhash", "transcript")
     p = candidates.join(

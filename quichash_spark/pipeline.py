@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from quichash_spark.config import CLIPS_CONFIG, DedupConfig
 from quichash_spark.functions.udfs import compute_signatures
+from quichash_spark.operators.cache_scope import CacheScope
 from quichash_spark.operators.connected_components import connected_components
 from quichash_spark.operators.containment import containment_candidates
 from quichash_spark.operators.exact_dedup import exact_duplicate_groups
@@ -85,12 +86,18 @@ def run_pipeline(
         F.explode("clip_ids").alias("clip_b"),
     ).filter(F.col("clip_a") != F.col("clip_b"))
 
+    # per-run registry: concurrent pipelines in one session each release
+    # only their own persisted bucket summaries (not each other's)
+    scope = CacheScope()
+
     def build_candidates() -> DataFrame:
         from quichash_spark.operators.lsh import unified_candidates
 
         # every channel (text LSH, pcm LSH, simhash chunks) through ONE
         # bucket table => one sizes pass, one kept-join, one self-join
-        pairs, dropped = unified_candidates(signatures, cfg, use_pcm=use_pcm_lsh)
+        pairs, dropped = unified_candidates(
+            signatures, cfg, use_pcm=use_pcm_lsh, scope=scope
+        )
         store.append_metrics("buckets_dropped", dropped)
         if use_containment:
             # redundant with lsh_text + the verify kernel's containment
@@ -104,13 +111,13 @@ def run_pipeline(
             )
         return pairs
 
-    candidates = _stage(store, "candidates", build_candidates, timings)
-    # the bucket summaries persisted inside unified_candidates are fully
-    # consumed once the candidates checkpoint exists; release them so a
-    # long-lived session running many pipelines doesn't accumulate cache
-    from quichash_spark.operators import lsh as _lsh
-
-    _lsh.release_cached()
+    try:
+        candidates = _stage(store, "candidates", build_candidates, timings)
+    finally:
+        # the bucket summaries persisted inside unified_candidates are
+        # fully consumed once the candidates checkpoint exists (and dead
+        # weight if the stage failed); release THIS run's caches only
+        scope.release()
 
     # exact pairs need no re-verification (proven identical by content
     # hash) but they also cost nothing: identical pcm_hash routes them
@@ -121,10 +128,16 @@ def run_pipeline(
         # footer-metadata count is free to skip)
         return verify_candidates(
             candidates, clips, cfg, signatures=signatures,
-            n_candidates=store.rows("candidates"),
+            n_candidates=store.rows("candidates"), scope=scope,
         )
 
-    verified = _stage(store, "verified_edges", build_verified, timings)
+    try:
+        verified = _stage(store, "verified_edges", build_verified, timings)
+    finally:
+        # no-op when the manifest count fed n_candidates; drains the
+        # self-sizing persist otherwise (ADVICE r4: don't defer to a
+        # manual module-level release)
+        scope.release()
 
     def build_clusters() -> DataFrame:
         edges = (

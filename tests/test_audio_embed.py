@@ -190,3 +190,36 @@ def test_audio_sem_dedup_matches_union_find(spark):
             parent[hi] = lo
     exp = {(c, find(c), c == find(c)) for c in ids}
     assert got == exp
+
+
+def test_null_sr_hz_degrades_to_null_embedding(spark):
+    """ADVICE r4: a null sr_hz must behave like a failed decode (null
+    embedding for that ROW), not TypeError the whole Arrow batch — the
+    hash columns for the row (and every other row) still come through."""
+    from pyspark.sql import functions as F
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import clips_dataframe
+    from quichash_spark.functions.udfs import compute_signatures
+
+    clips = clips_dataframe(spark, 16).withColumn(
+        "sr_hz",
+        F.when(F.pmod(F.xxhash64("clip_id"), F.lit(2)) == 0, None).otherwise(
+            F.col("sr_hz")
+        ),
+    )
+    nulled = {
+        r["clip_id"]
+        for r in clips.filter(F.col("sr_hz").isNull()).select("clip_id").collect()
+    }
+    assert 0 < len(nulled) < 16  # the fixture split actually exercised both
+    rows = compute_signatures(
+        clips, CLIPS_CONFIG, include_embedding=True
+    ).collect()
+    assert len(rows) == 16
+    for r in rows:
+        if r["clip_id"] in nulled:
+            assert r["embedding"] is None
+        else:
+            assert r["embedding"] is not None
+        assert r["content_hash"] is not None or not r["decode_ok"]

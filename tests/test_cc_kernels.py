@@ -103,3 +103,55 @@ def test_registry_engages_cc_tier_on_this_host():
         pytest.skip("C kernels unavailable")
     for algo in ("blake3", "xxh3", "xxh128"):
         assert KERNEL_PROVENANCE[algo] in ("wheel", "cc"), algo
+
+
+def test_batch_functions_fall_back_without_library(monkeypatch):
+    """Executor-side degradation contract (ADVICE r4): tier selection
+    happens once driver-side, but the *_cc batch functions run inside
+    executor Python workers on OTHER nodes — where available() may be
+    None (no gcc, failed compile/self-check).  They must return the pure
+    kernels' results, never AttributeError the task."""
+    monkeypatch.setattr(cc, "_lib", None)
+    monkeypatch.setattr(cc, "_tried", True)
+    vals = [b"", b"abc", _pattern(100), _pattern(1025)]
+    assert cc.blake3_hex_batch_cc(vals) == blake3_hex_batch(vals)
+    assert cc.xxh3_64_hex_batch_cc(vals) == [xxh3_64_hex(v) for v in vals]
+    assert cc.xxh3_128_hex_batch_cc(vals) == [xxh3_128_hex(v) for v in vals]
+
+
+def test_unsafe_cached_library_is_refused(tmp_path):
+    """_safe_to_load gates dlopen: a .so (or its dir) that is not a
+    private file of the current uid is never loaded — loading executes
+    library constructors, so the published-vector self-check comes too
+    late to defend against a pre-planted library (ADVICE r4)."""
+    import os
+
+    so = tmp_path / "qh_hash_x.so"
+    so.write_bytes(b"\x7fELF")
+    os.chmod(tmp_path, 0o700)
+    os.chmod(so, 0o600)
+    assert cc._safe_to_load(str(so))
+    os.chmod(so, 0o666)  # other-writable file
+    assert not cc._safe_to_load(str(so))
+    os.chmod(so, 0o600)
+    os.chmod(tmp_path, 0o777)  # other-writable dir (TOCTOU swap vector)
+    assert not cc._safe_to_load(str(so))
+    os.chmod(tmp_path, 0o700)
+    assert not cc._safe_to_load(str(tmp_path / "missing.so"))
+
+
+def test_world_writable_cache_dir_is_bypassed(monkeypatch, tmp_path):
+    """A shared/world-writable $QH_CC_CACHE is a code-injection vector on
+    multi-user nodes: available() must compile into a fresh private
+    mkdtemp instead, leaving the hostile dir untouched and unread."""
+    shared = tmp_path / "shared_cache"
+    shared.mkdir()
+    import os
+
+    os.chmod(shared, 0o777)
+    monkeypatch.setenv("QH_CC_CACHE", str(shared))
+    monkeypatch.setattr(cc, "_lib", None)
+    monkeypatch.setattr(cc, "_tried", False)
+    lib = cc.available()
+    assert lib is not None  # still compiled, just elsewhere
+    assert list(shared.iterdir()) == []  # nothing placed in (or trusted from) it

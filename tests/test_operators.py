@@ -404,3 +404,53 @@ def test_pq_topk_matches_sequential_replica_and_has_recall(spark):
     pq = {(r["query_id"], r["neighbor_id"]) for r in refined}
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_cache_scopes_release_independently(spark):
+    """VERDICT r4 #8: the persist registries are pipeline-scoped now —
+    two pipelines sharing one session must not release each other's
+    cached bucket summaries."""
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.fixtures import clips_dataframe
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.cache_scope import CacheScope
+    from quichash_spark.operators.lsh import unified_candidates
+
+    sigs = compute_signatures(
+        clips_dataframe(spark, 20), CLIPS_CONFIG, include_minhash=False
+    )
+    a, b = CacheScope(), CacheScope()
+    unified_candidates(sigs, CLIPS_CONFIG, scope=a)
+    unified_candidates(sigs, CLIPS_CONFIG, scope=b)
+    held_a, held_b = a.dataframes, b.dataframes
+    assert held_a and held_b
+    assert all(d.is_cached for d in held_a + held_b)
+    a.release()
+    assert not a.dataframes
+    assert all(not d.is_cached for d in held_a)
+    assert all(d.is_cached for d in held_b)  # pipeline B untouched
+    b.release()
+    assert all(not d.is_cached for d in held_b)
+
+
+def test_verify_self_sizing_persist_lands_in_scope(spark, tiny_clips):
+    """verify_candidates without the n_candidates hint persists the
+    candidate input for its sizing count — into the caller's scope, so
+    the caller's release (not a module global) drains it."""
+    from pyspark.sql import functions as F
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.operators.cache_scope import CacheScope
+    from quichash_spark.operators.verify import verify_candidates
+
+    cands = spark.createDataFrame(
+        [("clip_000000", "clip_000001", "lsh_text")],
+        "clip_a string, clip_b string, source string",
+    )
+    with CacheScope() as scope:
+        out = verify_candidates(cands, tiny_clips, CLIPS_CONFIG, scope=scope)
+        assert len(scope.dataframes) == 1
+        assert scope.dataframes[0].is_cached
+        held = scope.dataframes
+        out.filter(F.col("accepted").isNotNull()).count()
+    assert all(not d.is_cached for d in held)
