@@ -59,19 +59,37 @@ from quichash_spark.functions.imaging import decode_bmp, decode_png  # noqa: E40
 from quichash_spark.functions.jpeg import decode_jpeg  # noqa: E402
 from quichash_spark.functions.vp8l import decode_webp  # noqa: E402
 
+
+def decode_webp_auto(data: bytes) -> np.ndarray:
+    """WebP decode: the from-spec VP8L decoder (deterministic, always
+    present, conformance-tested against libwebp) first; payloads it
+    cannot handle — lossy VP8 needs a full intra-frame DSP decoder —
+    fall through to a system libwebp when one is loadable, else the
+    NotImplementedError surfaces into the kernel's decode_ok=false
+    path as before."""
+    try:
+        return decode_webp(data)
+    except NotImplementedError:
+        from quichash_spark.functions import webp_sys
+
+        if webp_sys.available() is not None:
+            return webp_sys.decode_rgba(data)[..., :3]
+        raise
+
+
 IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "raw_rgb8": _decode_raw_rgb8,
     # REAL decoders (public specs, stdlib + numpy — functions/imaging.py
     # for PNG/BMP, functions/jpeg.py for baseline JPEG incl. its own
-    # Huffman entropy decode + iDCT, functions/vp8l.py for
-    # WebP-lossless: full prefix-code/LZ77/color-cache entropy layer +
-    # subtract-green & palette transforms; lossy VP8 and the
-    # predictor/color transforms raise NotImplementedError -> the
-    # kernel's decode_ok=False path, see vp8l.py's docstring)
+    # Huffman entropy decode + iDCT, functions/vp8l.py for the COMPLETE
+    # WebP-lossless format: prefix-code/LZ77(raw+2D)/color-cache entropy
+    # layer + all four transforms, libwebp-conformance-tested; lossy VP8
+    # routes to a system libwebp when present, else NotImplementedError
+    # -> the kernel's decode_ok=False path)
     "png": decode_png,
     "bmp": decode_bmp,
     "jpeg": decode_jpeg,
-    "webp": decode_webp,
+    "webp": decode_webp_auto,
 }
 
 IMAGE_FEATURES_SCHEMA = StructType(

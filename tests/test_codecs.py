@@ -249,16 +249,23 @@ def test_image_features_malformed_payload_not_fatal(spark):
     assert not rows["garbage"]["decode_ok"]
     assert rows["ok"]["decode_ok"] and rows["ok"]["width"] == 4
     # honest stubs still surface loudly, not as silent decode failures —
-    # webp-lossless is REAL since late r4 (functions/vp8l.py); the stub
-    # inside the webp container is lossy VP8
+    # webp is REAL for the full lossless format (functions/vp8l.py, r5);
+    # a lossy-VP8 payload falls through to the system libwebp when one is
+    # loadable (which rejects this 4-byte fake as malformed -> decode_ok
+    # False), else the pure decoder's NotImplementedError surfaces
     import struct
 
     import pytest as _pytest
 
+    from quichash_spark.functions import webp_sys
+
     vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\0\0\0\0"
     stub_df = spark.createDataFrame([Row(item_id="j", payload=bytearray(vp8), codec="webp")])
-    with _pytest.raises(Exception, match="NotImplementedError|VP8"):
-        M.image_features(stub_df).collect()
+    if webp_sys.available() is not None:
+        assert M.image_features(stub_df).collect()[0]["decode_ok"] is False
+    else:
+        with _pytest.raises(Exception, match="NotImplementedError|VP8"):
+            M.image_features(stub_df).collect()
 
 
 # ---------------------------------------------------------------------------

@@ -32,13 +32,16 @@ def test_image_features_pipeline(spark):
 
 
 def test_stub_codecs_raise(spark):
-    # webp is REAL for lossless (VP8L, functions/vp8l.py) since late r4;
-    # the remaining honest stub inside it is lossy VP8
+    # webp is REAL for the whole lossless format (VP8L, functions/vp8l.py,
+    # all four transforms + 2D LZ77 as of r5); lossy VP8 falls through to
+    # a system libwebp when one is loadable (functions/webp_sys.py), else
+    # stays an honest NotImplementedError
+    from quichash_spark.functions import webp_sys
     from quichash_spark.functions.vp8l import encode_webp_lossless
 
     img = _img(9, 12, 10)
     good = encode_webp_lossless(img)
-    lossy = good.replace(b"VP8L", b"VP8 ", 1)
+    lossy = good.replace(b"VP8L", b"VP8 ", 1)  # relabeled garbage, NOT real VP8
     df = spark.createDataFrame([
         Row(item_id="wl", payload=bytearray(good), codec="webp"),
         Row(item_id="wt", payload=b"RIFF", codec="webp"),  # truncated
@@ -47,8 +50,14 @@ def test_stub_codecs_raise(spark):
     assert got["wl"]["decode_ok"] and got["wl"]["width"] == img.shape[1]
     assert got["wt"]["decode_ok"] is False  # malformed, not fatal
     dfl = spark.createDataFrame([Row(item_id="v", payload=bytearray(lossy), codec="webp")])
-    with pytest.raises(Exception, match="NotImplementedError|VP8"):
-        M.image_features(dfl).collect()
+    if webp_sys.available() is not None:
+        # the system tier rejects the fake VP8 payload -> malformed row,
+        # not a task failure (real lossy VP8 decodes: see test_vp8l.py's
+        # test_lossy_vp8_falls_through_to_system_libwebp)
+        assert M.image_features(dfl).collect()[0]["decode_ok"] is False
+    else:
+        with pytest.raises(Exception, match="NotImplementedError|VP8"):
+            M.image_features(dfl).collect()
     # a truncated jpeg is a MALFORMED input now, not a stub: decode_ok=False
     df2 = spark.createDataFrame([Row(item_id="j", payload=b"\xff\xd8", codec="jpeg")])
     assert M.image_features(df2).collect()[0]["decode_ok"] is False

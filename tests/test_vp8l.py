@@ -203,3 +203,280 @@ def test_registered_in_image_codecs():
     img = _rand_img(rng, 9, 11)
     out = IMAGE_CODECS["webp"](encode_webp_lossless(img))
     assert np.array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# r5: predictor / color transforms, 2D distance map, libwebp conformance
+# ---------------------------------------------------------------------------
+
+from quichash_spark.functions import webp_sys  # noqa: E402
+from quichash_spark.functions.vp8l import (  # noqa: E402
+    DISTANCE_MAP,
+    _clamp_add_sub_half,
+    _map_distance,
+    decode_vp8l_stream,
+)
+
+_HAVE_LIBWEBP = webp_sys.available() is not None
+
+
+def test_distance_map_head_matches_spec_listing():
+    """First rows of the spec's printed 120-entry table, transcribed
+    here as one pin for the generating rule (the full asymmetric
+    dx in [-7,8] x dy in [0,7] window ordered by d^2, ties by |dx| then
+    positive dx first); the tail rows below are the part where the
+    naive symmetric-window reading diverges, pinned from the libwebp
+    plane-code probe (see _gen_distance_map and the probe test)."""
+    assert DISTANCE_MAP[:22] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2),
+    ]
+    assert DISTANCE_MAP[96:] == [
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+    ]
+    assert len(DISTANCE_MAP) == 120
+    assert len(set(DISTANCE_MAP)) == 120
+    # clamp-to-1 rule: offsets pointing right on the current row at tiny
+    # widths never produce a non-positive distance
+    assert _map_distance(1, 4) == 4  # (0,1) at width 4
+    assert _map_distance(2, 4) == 1  # (1,0)
+    assert _map_distance(4, 2) == 1  # (-1,1) at width 2 -> 1, clamped min 1
+
+
+def test_clamp_add_sub_half_truncates_toward_zero():
+    """The spec's (a - b) / 2 is C division; a < b must round toward
+    zero, not floor (floor would shift odd negative deltas by one)."""
+    a = 10 << 8  # green = 10
+    b = 15 << 8  # green = 15
+    # d = -5 -> half = -2 (trunc), pred green = clamp(10 - 2) = 8
+    assert (_clamp_add_sub_half(a, b) >> 8) & 0xFF == 8
+
+
+def test_predictor_modes_roundtrip_all_14():
+    rng = np.random.default_rng(50)
+    img = _rand_img(rng, 13, 17, 4)
+    for mode in range(14):
+        data = encode_webp_lossless(img, predictor=mode, predictor_bits=2)
+        assert np.array_equal(decode_webp(data), img[..., :3]), mode
+
+
+def test_predictor_mixed_block_modes_roundtrip():
+    rng = np.random.default_rng(51)
+    img = _rand_img(rng, 16, 16, 4)
+    modes = rng.integers(0, 14, (4, 4)).astype(np.uint32)  # 4px blocks
+    data = encode_webp_lossless(img, predictor=modes, predictor_bits=2)
+    assert np.array_equal(decode_webp(data), img[..., :3])
+
+
+def test_color_transform_roundtrip():
+    rng = np.random.default_rng(52)
+    img = _rand_img(rng, 11, 19, 4)
+    for cte in [(0, 0, 0), (10, -20, 33), (-128, 127, -1), (64, 64, 64)]:
+        data = encode_webp_lossless(img, color=cte, color_bits=3)
+        assert np.array_equal(decode_webp(data), img[..., :3]), cte
+
+
+def test_combined_transforms_roundtrip():
+    rng = np.random.default_rng(53)
+    img = _rand_img(rng, 12, 14, 4)
+    data = encode_webp_lossless(
+        img, subtract_green=True, color=(5, -9, 17), predictor=11,
+        use_cache_bits=4,
+    )
+    stats: dict = {}
+    body = data[20:]  # RIFF(12) + "VP8L"(4) + size(4)
+    assert np.array_equal(
+        decode_vp8l_stream(body)[..., :3], img[..., :3]
+    )
+    decode_vp8l_stream(body, stats)
+    assert stats["transforms"] == {"subtract_green", "color", "predictor"}
+
+
+def test_lz77_2d_vertical_runs_roundtrip():
+    rng = np.random.default_rng(54)
+    row = rng.integers(0, 256, (1, 23, 4), dtype=np.uint8)
+    img = np.tile(row, (9, 1, 1))  # every row repeats -> distance=w refs
+    data = encode_webp_lossless(img, lz77_2d=True)
+    stats: dict = {}
+    out = decode_vp8l_stream(data[20:], stats)
+    assert np.array_equal(out[..., :3], img[..., :3])
+    assert stats.get("dist_2d", 0) > 0  # the 2D map was actually used
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="no system libwebp")
+def test_libwebp_decodes_our_streams():
+    """Independent-decoder check of the ENCODER (and so of the shared
+    reading of the spec): libwebp must reproduce the source pixels from
+    streams using each newly implemented feature."""
+    rng = np.random.default_rng(55)
+    img = _rand_img(rng, 13, 17, 4)
+    cases = [
+        dict(predictor=12),
+        dict(predictor=13, predictor_bits=2),
+        dict(color=(10, -20, 33)),
+        dict(lz77_2d=True),
+        dict(subtract_green=True, color=(5, -9, 17), predictor=11),
+    ]
+    for kwargs in cases:
+        ref = webp_sys.decode_rgba(encode_webp_lossless(img, **kwargs))
+        assert np.array_equal(ref, img), kwargs
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="no system libwebp")
+def test_conformance_on_libwebp_encoded_streams():
+    """The decisive cross-check: libwebp-ENCODED lossless streams —
+    which use the predictor/color transforms, color cache and 2D
+    distance codes as a production encoder emits them — must decode
+    bit-exactly to what libwebp itself decodes (== the source).  The
+    accumulated stats assert the corpus really exercised those
+    features (no vacuous pass)."""
+    total: dict = {}
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+        base = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        gx = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+        gy = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
+        # gradient + noise mixes trigger predictor/color; flat tiles
+        # trigger 2D runs; a >256-color repeated palette (too big to
+        # palette-index) makes libwebp engage the color cache
+        style = seed % 4
+        if style == 0:
+            img = ((base * 0.2 + gx * 0.4 + gy * 0.4) % 256).astype(np.uint8)
+        elif style == 1:
+            img = base
+        elif style == 2:
+            img = np.tile(base[:1], (h, 1, 1))
+        else:
+            h, w = 64, 64
+            pal = rng.integers(0, 256, (300, 4), dtype=np.uint8)
+            img = pal[rng.integers(0, 300, (h, w))]
+        img[..., 3] = 255
+        data = webp_sys.encode_lossless_rgba(img)
+        # find the VP8L payload inside the RIFF for the stats-aware path
+        off = data.index(b"VP8L") + 8
+        stats: dict = {}
+        mine = decode_vp8l_stream(data[off:], stats)
+        ref = webp_sys.decode_rgba(data)
+        assert np.array_equal(mine[..., :3], ref[..., :3]), seed
+        assert np.array_equal(mine[..., 3], ref[..., 3]), seed
+        assert np.array_equal(ref, img), seed
+        for k, v in stats.items():
+            if k == "transforms":
+                total.setdefault(k, set()).update(v)
+            else:
+                total[k] = total.get(k, 0) + v
+    assert "predictor" in total.get("transforms", set())
+    assert total.get("dist_2d", 0) > 0
+    assert total.get("cache_hits", 0) > 0
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="no system libwebp")
+def test_lossy_vp8_falls_through_to_system_libwebp():
+    """multimodal's webp entry: lossy VP8 (pure decoder raises
+    NotImplementedError) decodes via the system library when present."""
+    import ctypes
+
+    from quichash_spark.functions.multimodal import IMAGE_CODECS
+
+    lib = webp_sys.available()
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    rng = np.random.default_rng(56)
+    img = np.tile(rng.integers(0, 256, (1, 16, 4), dtype=np.uint8), (16, 1, 1))
+    img[..., 3] = 255
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(img.tobytes(), 16, 16, 64, 75.0, ctypes.byref(out))
+    assert n > 0
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+    with pytest.raises(NotImplementedError):
+        decode_webp(data)  # pure decoder: honestly out of scope
+    decoded = IMAGE_CODECS["webp"](data)  # auto path: system tier
+    assert decoded.shape == (16, 16, 3)
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="no system libwebp")
+def test_distance_map_tail_probed_against_libwebp():
+    """Empirical pin of the distance map where the naive symmetric
+    window misreads it (the last 24 plane codes, plus spot heads): a
+    stream of unique literal pixels with one length-1 copy per probed
+    plane code; which pixel libwebp fetches reveals the true (dx, dy).
+    Probes are spaced beyond 2x the max reachable distance so each
+    source window contains no duplicate values."""
+    import struct
+
+    from quichash_spark.functions.vp8l import (
+        NUM_DISTANCE_CODES,
+        NUM_LENGTH_CODES,
+        _write_prefix_code_complex,
+    )
+
+    planes = [1, 2, 13, 25, 54, 96] + list(range(97, 121))
+    W, SPACING = 64, 1200
+    positions = [16 * W + i * SPACING for i in range(len(planes))]
+    probes = dict(zip(positions, planes))
+    n = positions[-1] + W * 16
+    H = (n + W - 1) // W
+    n = W * H
+    idx = np.arange(n, dtype=np.uint32)
+    pix = (0xFF000000 | ((idx & 0xFF) << 16)
+           | (((idx >> 8) & 0xFF) << 8) | ((idx >> 16) & 0xFF))
+
+    bw = BitWriter()
+    bw.write(W - 1, 14)
+    bw.write(H - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    g_map = _write_prefix_code_complex(
+        bw, complete_two_level_lengths(256 + NUM_LENGTH_CODES))
+    maps = [
+        _write_prefix_code_complex(bw, complete_two_level_lengths(256))
+        for _ in range(3)
+    ]
+    d_map = _write_prefix_code_complex(
+        bw, complete_two_level_lengths(NUM_DISTANCE_CODES))
+    pos = 0
+    while pos < n:
+        if pos in probes:
+            code, ln = g_map[256 + 0]  # length code 0 -> copy length 1
+            bw.write_code(code, ln)
+            dcode, dextra, dbits = prefix_encode_value(probes[pos])
+            code, ln = d_map[dcode]
+            bw.write_code(code, ln)
+            bw.write(dextra, dbits)
+            pos += 1
+            continue
+        p = int(pix[pos])
+        code, ln = g_map[(p >> 8) & 0xFF]
+        bw.write_code(code, ln)
+        for m, sh in zip(maps, (16, 0, 24)):
+            code, ln = m[(p >> sh) & 0xFF]
+            bw.write_code(code, ln)
+        pos += 1
+
+    payload = bytes([0x2F]) + bw.tobytes()
+    body = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    ref = webp_sys.decode_rgba(b"RIFF" + struct.pack("<I", len(body)) + body)
+    ra = ((ref[..., 3].astype(np.uint32) << 24)
+          | (ref[..., 0].astype(np.uint32) << 16)
+          | (ref[..., 1].astype(np.uint32) << 8)
+          | ref[..., 2]).reshape(-1)
+    for pos, plane in probes.items():
+        js = np.where(ra[pos - 600:pos] == ra[pos])[0]
+        assert len(js) == 1, plane
+        dist = 600 - int(js[0])
+        dy = (dist + 32) // W
+        dx = dist - dy * W
+        assert DISTANCE_MAP[plane - 1] == (dx, dy), plane
