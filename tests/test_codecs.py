@@ -435,10 +435,15 @@ def test_jpeg_malformed_and_unsupported_rejected():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
     data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
-    # flip SOF0 marker to SOF2 (progressive) -> explicit unsupported error
     i = bytes(data).find(b"\xff\xc0")
+    # flip SOF0 to SOF9 (arithmetic coding) -> explicit unsupported error
+    data[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(bytes(data))
+    # flip SOF0 to SOF2: progressive is SUPPORTED now (r5), but a baseline
+    # scan header (Ss=0, Se=63) is malformed under progressive rules
     data[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se"):
         decode_jpeg(bytes(data))
     # truncated scan -> surfaced via decode_ok=False upstream, here raises
     full = encode_jpeg(np.full((16, 16), 9, dtype=np.uint8))
@@ -633,3 +638,139 @@ def test_flac_flows_through_signature_kernel(spark):
     assert rows["flac"]["decode_ok"]
     assert rows["raw"]["content_hash"] == rows["flac"]["content_hash"]
     assert rows["raw"]["pcm_hash"] == rows["flac"]["pcm_hash"]
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (r5: SOF2 — spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_roundtrip_matches_baseline_exactly():
+    """The progressive scan script encodes the SAME coefficients as the
+    baseline writer, so the two decodes must be bit-identical — this
+    pins the DC/AC first+refinement scan decoders and EOB-run handling
+    without any iDCT tolerance."""
+    from quichash_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    cases = [
+        rng.integers(0, 256, (24, 33, 3), dtype=np.uint8),   # noise
+        rng.integers(0, 256, (13, 22), dtype=np.uint8),      # grayscale
+        (np.linspace(0, 255, 48)[None, :, None]
+         * np.ones((32, 1, 3))).astype(np.uint8),            # smooth: EOBRUNs
+        np.full((64, 64, 3), 77, np.uint8),                  # flat: long EOBRUN
+    ]
+    for i, img in enumerate(cases):
+        for q in (1, 8):
+            base = decode_jpeg(encode_jpeg(img, qtable=q))
+            prog = decode_jpeg(encode_jpeg(img, qtable=q, progressive=True))
+            assert np.array_equal(base, prog), (i, q)
+    # flat q=1 round trip also within DCT float rounding of the source
+    img = cases[0]
+    out = decode_jpeg(encode_jpeg(img, qtable=1, progressive=True))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def _imageio_jpeg(spark, img, quality, progressive):
+    """Encode via the JVM's javax.imageio (an independent implementation
+    shipped with every Spark runtime) — gray (2-D) or RGB input."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    h, w = img.shape[:2]
+    gray = img.ndim == 2
+    bi = BI(w, h, BI.TYPE_BYTE_GRAY if gray else BI.TYPE_INT_RGB)
+    raster = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            if gray:
+                # raster samples, NOT setRGB: the BufferedImage RGB path
+                # applies a nonlinear sRGB<->gray colorspace transform
+                raster.setSample(x, y, 0, int(img[y, x]))
+            else:
+                r, g, b = (int(v) for v in img[y, x])
+                bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    if progressive:
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(float(quality))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+def _imageio_decode(spark, data):
+    jvm = spark._jvm
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    h, w = bi.getHeight(), bi.getWidth()
+    out = np.empty((h, w, 3), np.uint8)
+    if bi.getRaster().getNumBands() == 1:
+        # raw decoded samples (getRGB would run gray->sRGB gamma)
+        raster = bi.getRaster()
+        for y in range(h):
+            for x in range(w):
+                out[y, x] = raster.getSample(x, y, 0)
+        return out
+    for y in range(h):
+        for x in range(w):
+            v = bi.getRGB(x, y)
+            out[y, x] = ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+    return out
+
+
+def test_progressive_conformance_against_imageio(spark):
+    """Independent-implementation check on REAL progressive streams
+    (ImageIO writes the classic libjpeg 10-scan script: interleaved DC
+    with successive approximation Al=1, banded AC at Al=2/1 with two
+    refinement passes, 4:2:0 subsampling).  Color images: my decode of
+    the progressive file must be BIT-IDENTICAL to my decode of the
+    baseline file at the same quality (same coefficients; this isolates
+    the scan decoders from the known nearest-vs-fancy chroma upsampling
+    difference, which tests below bound separately).  Grayscale (no
+    chroma, no upsampling): my pixels vs ImageIO's within iDCT rounding.
+    """
+    from quichash_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(31)
+    for seed, (h, w) in enumerate([(24, 33), (17, 16), (8, 8), (40, 25)]):
+        gx = np.linspace(0, 200, w)[None, :, None]
+        img = (rng.integers(0, 60, (h, w, 3)) + gx).astype(np.uint8)
+        for quality in (0.95, 0.5):
+            base = _imageio_jpeg(spark, img, quality, False)
+            prog = _imageio_jpeg(spark, img, quality, True)
+            assert b"\xff\xc2" in prog  # really SOF2
+            # sanity: ImageIO itself sees identical pixels in both files
+            assert np.array_equal(
+                _imageio_decode(spark, base), _imageio_decode(spark, prog)
+            )
+            assert np.array_equal(decode_jpeg(base), decode_jpeg(prog)), (
+                seed, quality,
+            )
+
+    for quality in (0.9, 0.6):
+        g = rng.integers(0, 256, (21, 18), dtype=np.uint8)
+        prog = _imageio_jpeg(spark, g, quality, True)
+        assert b"\xff\xc2" in prog
+        mine = decode_jpeg(prog).astype(int)
+        ref = _imageio_decode(spark, prog).astype(int)
+        assert np.abs(mine - ref).max() <= 2
+
+
+def test_color_conformance_bound_against_imageio(spark):
+    """The color channel difference vs ImageIO is bounded and comes from
+    chroma upsampling (nearest vs libjpeg's 'fancy' triangular filter) —
+    luma must agree within iDCT rounding even at 4:2:0."""
+    from quichash_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(32)
+    img = (rng.integers(0, 50, (24, 32, 3))
+           + np.linspace(0, 180, 32)[None, :, None]).astype(np.uint8)
+    prog = _imageio_jpeg(spark, img, 0.9, True)
+    mine = decode_jpeg(prog).astype(np.float64)
+    ref = _imageio_decode(spark, prog).astype(np.float64)
+    luma = np.array([0.299, 0.587, 0.114])
+    assert np.abs((mine - ref) @ luma).max() <= 3.0
