@@ -120,6 +120,15 @@ def oracle_sql() -> dict[str, str]:
         for k in VIDEO_FIXTURE_KEYS:
             out.pop(k, None)
     try:
+        from quichash_spark.oracle.fixture import ensure_image_fixture
+
+        ensure_image_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import IMAGE_FIXTURE_KEYS
+
+        for k in IMAGE_FIXTURE_KEYS:
+            out.pop(k, None)
+    try:
         from quichash_spark.oracle.fixture import ensure_stream_fixture
 
         ensure_stream_fixture()

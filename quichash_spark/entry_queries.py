@@ -888,6 +888,49 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image modality end-to-end (functions/multimodal.py image_features
+    over every REAL decoder — PNG, BMP, baseline + progressive JPEG,
+    WebP-lossless with transforms — plus a malformed row): deterministic
+    payloads generated executor-side (pure function of the index,
+    fixtures/media.py::gen_image_payload), decoded + phashed through the
+    mapInPandas kernel.  DuckDB cannot decode these formats, so the
+    oracle reads rows materialized by the same frozen kernels run
+    item-by-item driver-side
+    (oracle/fixture.py::sequential_image_features)."""
+    import pandas as pd
+
+    from quichash_spark.functions.multimodal import image_features
+
+    n = max(25, _clips_n(sf_dir) // 20)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                from quichash_spark.fixtures.media import gen_image_payload
+
+                payload, codec = gen_image_payload(int(i))
+                rows.append({
+                    "item_id": f"img_{int(i):06d}",
+                    "payload": payload,
+                    "codec": codec,
+                })
+            yield pd.DataFrame(rows, columns=["item_id", "payload", "codec"])
+
+    items = spark.range(0, n, 1, 4).mapInPandas(
+        gen, "item_id string, payload binary, codec string"
+    )
+    feats = image_features(items)
+    return feats.select(
+        "item_id", "decode_ok", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
 def q_stream_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-duplicate assignment (streaming/cluster.py band-key
     state) as a driver query: availableNow over the DETERMINISTIC stream
@@ -1186,6 +1229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_neardup_assign": q_stream_neardup_assign,
     "stream_embed_assign": q_stream_embed_assign,
     "video_features": q_video_features,
+    "image_features": q_image_features,
     "media_probe": q_media_probe,
     "audio_fp_pairs": q_audio_fp_pairs,
     "audio_embed_neardup": q_audio_embed_neardup,
@@ -1208,6 +1252,7 @@ from quichash_spark.oracle.fixture import (  # noqa: E402
     clips_fixture_dir,
     docs_fixture_dir,
     fp_fixture_dir,
+    image_fixture_dir,
     media_fixture_dir,
     stream_fixture_dir,
     video_fixture_dir,
@@ -1221,6 +1266,7 @@ _FP_FIX = fp_fixture_dir()
 _AEMB_FIX = aemb_fixture_dir()
 _STREAM_FIX = stream_fixture_dir()
 _VIDEO_FIX = video_fixture_dir()
+_IMAGE_FIX = image_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -1240,6 +1286,7 @@ AEMB_FIXTURE_KEYS = ("audio_embed_neardup", "audio_sem_dedup",
                      "audio_pair_verdict")
 STREAM_FIXTURE_KEYS = ("stream_neardup_assign", "stream_embed_assign")
 VIDEO_FIXTURE_KEYS = ("video_features",)
+IMAGE_FIXTURE_KEYS = ("image_features",)
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1702,6 +1749,13 @@ ORACLE_SQL: dict[str, str] = {
         select item_id, decode_ok, n_frames, width, height, fps,
                phash_concat, mean_luma
         from read_parquet('{_VIDEO_FIX}/video_features.parquet')
+    """,
+    # --- sequential decode+phash replica over every image codec (DuckDB
+    # cannot decode PNG/JPEG/WebP; same kernels run item-by-item) ---
+    "image_features": f"""
+        select item_id, decode_ok, width, height, mean_r, mean_g, mean_b,
+               phash
+        from read_parquet('{_IMAGE_FIX}/image_features.parquet')
     """,
     # --- sequential micro-batch-replay oracles for the two stateful
     # streaming operators (deterministic stream layout; VERDICT r4 #2) ---

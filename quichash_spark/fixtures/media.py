@@ -405,3 +405,62 @@ def materialized_media(spark, n: int, cache_root: str = "/tmp/quichash_media"):
     if not (path / "_SUCCESS").exists():
         media_dataframe(spark, n).write.mode("overwrite").parquet(str(path))
     return spark.read.parquet(str(path))
+
+
+# ---------------------------------------------------------------------------
+# deterministic image payloads for the image_features driver query (r5):
+# one shared pure-function-of-index generator used by BOTH the Spark
+# query (executor-side, entry_queries.q_image_features) and the
+# sequential oracle replica (oracle/fixture.py::sequential_image_features)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer (BITMAPINFOHEADER, BGR rows
+    padded to 4 bytes) — the exact shape imaging.decode_bmp parses."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            rows += bytes((b, g, r))
+        rows += b"\x00" * (stride - w * 3)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(rows), 2835, 2835, 0, 0))
+    return header + bytes(rows)
+
+
+def gen_image_payload(i: int) -> tuple[bytes, str]:
+    """(payload, codec) for image item ``i`` — deterministic, covering
+    every real image decoder through the driver correctness gate: PNG,
+    BMP, baseline AND progressive JPEG (flat q=1: exact up to DCT float
+    rounding), WebP-lossless with the r5 transforms (subtract-green +
+    predictor + color cache), plus a truncated payload that must come
+    back decode_ok=false."""
+    from quichash_spark.functions.imaging import encode_png
+    from quichash_spark.functions.jpeg import encode_jpeg
+    from quichash_spark.functions.vp8l import encode_webp_lossless
+
+    rng = np.random.default_rng([88, i])
+    h = int(rng.integers(8, 25))
+    w = int(rng.integers(8, 25))
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    kind = i % 6
+    if kind == 0:
+        return encode_png(img), "png"
+    if kind == 1:
+        return encode_bmp24(img), "bmp"
+    if kind == 2:
+        return encode_jpeg(img, qtable=1), "jpeg"
+    if kind == 3:
+        return encode_jpeg(img, qtable=1, progressive=True), "jpeg"
+    if kind == 4:
+        return encode_webp_lossless(
+            img, subtract_green=True, predictor=int(rng.integers(0, 14)),
+            use_cache_bits=4,
+        ), "webp"
+    return encode_png(img)[:20], "png"  # truncated -> decode_ok False

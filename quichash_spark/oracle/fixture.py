@@ -965,3 +965,64 @@ def ensure_video_fixture(n: int = DRIVER_N_VIDEOS) -> str:
         )
 
     return _atomic_build(target, build)
+
+
+# ---------------------------------------------------------------------------
+# image features replica (decode + phash over every image codec, r5)
+# ---------------------------------------------------------------------------
+
+#: the driver image query's corpus-size contract (entry_queries
+#: q_image_features: max(24, n_clips // 20) at sf0.01 -> 500 // 20 = 25
+#: -> max gives 25)
+DRIVER_N_IMAGES = 25
+
+
+def sequential_image_features(n: int = DRIVER_N_IMAGES) -> pd.DataFrame:
+    """Sequential replica of q_image_features: the same deterministic
+    payload generator (fixtures/media.py::gen_image_payload) and the
+    same frozen decode/phash kernels (functions/multimodal.py
+    IMAGE_CODECS) run item-by-item on the driver — no Spark, no Arrow.
+    DuckDB cannot decode PNG/JPEG/WebP, so the oracle SQL reads these
+    materialized rows back (the video_features pattern)."""
+    from quichash_spark.fixtures.media import gen_image_payload
+    from quichash_spark.functions.multimodal import IMAGE_CODECS, _phash8
+
+    out = []
+    for i in range(n):
+        payload, codec = gen_image_payload(i)
+        row = {
+            "item_id": f"img_{i:06d}", "decode_ok": False, "width": None,
+            "height": None, "mean_r": None, "mean_g": None, "mean_b": None,
+            "phash": None,
+        }
+        try:
+            img = IMAGE_CODECS[codec](payload)
+        except Exception:  # noqa: BLE001 — malformed row contract
+            img = None
+        if img is not None:
+            row.update(
+                decode_ok=True,
+                width=int(img.shape[1]), height=int(img.shape[0]),
+                mean_r=_round_half_up(float(img[..., 0].mean()), 6),
+                mean_g=_round_half_up(float(img[..., 1].mean()), 6),
+                mean_b=_round_half_up(float(img[..., 2].mean()), 6),
+                phash=_phash8(img),
+            )
+        out.append(row)
+    df = pd.DataFrame(out)
+    return df.astype({"width": "Int32", "height": "Int32"})
+
+
+def image_fixture_dir(n: int = DRIVER_N_IMAGES) -> str:
+    return os.path.join(ROOT, f"image_o{ORACLE_FIXTURE_VERSION}_n{n}")
+
+
+def ensure_image_fixture(n: int = DRIVER_N_IMAGES) -> str:
+    target = image_fixture_dir(n)
+
+    def build(tmp: str) -> None:
+        sequential_image_features(n).to_parquet(
+            os.path.join(tmp, "image_features.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)
