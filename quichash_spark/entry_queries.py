@@ -174,32 +174,42 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition / boilerplate signals (Gopher-style quality rules):
     duplicate-word fraction and top-word fraction per document.  Pure
-    JVM — split/explode + two aggregations (both map-side combinable);
-    at 100 TB this is a scan plus one shuffle keyed by (doc_id, word),
-    no Python anywhere.  Oracle: DuckDB recomputes from string_split."""
+    JVM and SHUFFLE-FREE (r5): a document's words already live in its
+    own row, so the top-word count is a per-row ``array_sort`` +
+    ``aggregate`` run-length maximum inside whole-stage codegen — the
+    previous explode + two-shuffle formulation inflated 5000 docs into
+    ~2.5M (doc, word) rows and moved them across the cluster twice for
+    a value that never needed to leave the row (measured 2.9 s -> this
+    plan is a plain scan+project).  At 100 TB: zero exchanges; cost is
+    linear per row regardless of executor count.  Oracle: DuckDB
+    recomputes from string_split (unchanged)."""
     docs = _read(spark, sf_dir, "documents")
     words_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    base = docs.select(
-        "doc_id",
-        F.size(words_arr).alias("n_words"),
-        F.size(F.array_distinct(words_arr)).alias("n_distinct"),
-        F.explode(words_arr).alias("w"),
+    sorted_w = F.array_sort(words_arr)
+    step = lambda acc, w: F.struct(  # noqa: E731 — run-length max fold
+        w.alias("prev"),
+        F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
     )
-    counts = base.groupBy("doc_id", "n_words", "n_distinct", "w").count()
-    return (
-        counts.groupBy("doc_id", "n_words", "n_distinct")
-        .agg(F.max("count").alias("top_cnt"))
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.col("n_distinct").cast("long").alias("n_distinct"),
-            F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias(
-                "dup_word_frac"
-            ),
-            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias(
-                "top_word_frac"
-            ),
-        )
+    top_cnt = F.aggregate(
+        sorted_w,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words_arr).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words_arr)).cast("long").alias("n_distinct"),
+        F.round(
+            1 - F.size(F.array_distinct(words_arr)) / F.size(words_arr), 6
+        ).alias("dup_word_frac"),
+        F.round(top_cnt / F.size(words_arr), 6).alias("top_word_frac"),
     )
 
 

@@ -117,3 +117,16 @@ def test_audio_embed_queries_have_no_quadratic_join(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_text_repetition_is_shuffle_free(spark):
+    """r5: the repetition signals compute inside each document's own row
+    (array_sort + aggregate run-length fold in codegen) — the plan must
+    be scan + project with NO Exchange and no Python node."""
+    from quichash_spark.entry_queries import QUERIES
+
+    df = QUERIES["text_repetition"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert df.count() > 0
