@@ -85,7 +85,17 @@ def winnow_fingerprints(documents: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return documents.select(id_col, text_col).mapInPandas(batches, FP_SCHEMA)
+    # a small corpus often arrives as ONE parquet file -> one scan
+    # partition -> the whole fingerprint kernel would run serially in a
+    # single Python task; the kernel is per-row, so a round-robin
+    # repartition is semantics-free (same rationale as
+    # doc_dedup.minhash_signatures)
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return (
+        documents.select(id_col, text_col)
+        .repartition(par)
+        .mapInPandas(batches, FP_SCHEMA)
+    )
 
 
 def fingerprint_overlap_pairs(documents: DataFrame, min_shared: int = 2) -> DataFrame:

@@ -110,16 +110,23 @@ def minhash_signatures(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            mh, sim = [], []
-            for text in pdf["text"]:
-                canon = " ".join(text.split()) if isinstance(text, str) else ""
-                sig = hashing.minhash_signature(
-                    hashing.shingle_hashes(canon, cfg.k_shingle), a_params, b_params
-                )
-                mh.append(sig.view(np.int64))
-                sim.append(hashing.simhash64_i64(canon))
+            canons = [
+                " ".join(t.split()) if isinstance(t, str) else ""
+                for t in pdf["text"]
+            ]
+            # one vectorized multiply-reduceat across the whole Arrow
+            # batch (the clips-path kernel; per-row equality to the
+            # scalar kernel is pinned in tests) instead of a per-doc
+            # Python loop over 128 permutations
+            sets = [hashing.shingle_hashes(c, cfg.k_shingle) for c in canons]
+            sigs = hashing.minhash_signature_batch(sets, a_params, b_params)
+            sim = [hashing.simhash64_i64(c) for c in canons]
             yield pd.DataFrame(
-                {"clip_id": pdf[id_col], "minhash_text": mh, "simhash": sim}
+                {
+                    "clip_id": pdf[id_col],
+                    "minhash_text": list(sigs.view(np.int64)),
+                    "simhash": sim,
+                }
             )
 
     from pyspark.sql.types import StringType, StructField, StructType
@@ -133,9 +140,17 @@ def minhash_signatures(
     )
     # zero-padded string ids so lexicographic clip_id order == numeric
     # doc_id order (pair orientation must match the integer-keyed oracle)
+    #
+    # repartition BEFORE the Python stage: a small corpus often arrives
+    # as one parquet file -> one scan partition -> the whole signature
+    # kernel would run in a single task (measured: the dominant cost of
+    # dedup_minhash_lsh at sf0.1).  The kernel is per-row, so the
+    # round-robin shuffle of (id, text) is semantics-free; at 100 TB the
+    # scan is many-filed and AQE sizes this exchange away or cheaply.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     return documents.select(
         F.lpad(F.col(id_col).cast("string"), 12, "0").alias(id_col), "text"
-    ).mapInPandas(batches, schema)
+    ).repartition(par).mapInPandas(batches, schema)
 
 
 def minhash_lsh_pairs(
