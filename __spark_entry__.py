@@ -137,4 +137,13 @@ def oracle_sql() -> dict[str, str]:
 
         for k in STREAM_FIXTURE_KEYS:
             out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_aqual_fixture
+
+        ensure_aqual_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import AQUAL_FIXTURE_KEYS
+
+        for k in AQUAL_FIXTURE_KEYS:
+            out.pop(k, None)
     return out

@@ -1166,6 +1166,77 @@ def q_audio_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio quality signals (functions/audio_quality.py):
+    clipping, silence, DC offset, zero crossings, plus speaking-rate
+    sanity from the transcript — the audio analog of the Gopher-style
+    text quality filters, computed in ONE shuffle-free decode pass.
+    Raw metrics are integer-exact; the derived columns (wpm, ppm ratios,
+    quality_ok) are JVM expressions here and independent DuckDB
+    arithmetic in the oracle (the replica stores only raw integers —
+    plain-``struct`` decode, pure-Python loops, no shared kernel)."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.functions.audio_quality import (
+        CLIPPED_PPM_MAX, SILENT_PPM_MAX, WPM_MAX, WPM_MIN,
+        compute_audio_quality,
+    )
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    raw = compute_audio_quality(clips)
+    n_words = (
+        F.when(F.length(F.trim("transcript")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("transcript"), r"\s+")))
+        .cast("long")
+    )
+    d = raw.withColumn("n_words", n_words)
+    wpm = (
+        F.when(F.col("dur_ms") > 0,
+               F.expr("n_words * 60000 div dur_ms"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    clipped_ppm = F.when(
+        F.col("n_samples") > 0, F.expr("n_clipped * 1000000 div n_samples")
+    ).cast("long")
+    silent_ppm = F.when(
+        F.col("n_frames") > 0,
+        F.expr("n_silent_frames * 1000000 div n_frames"),
+    ).cast("long")
+    d = (
+        d.withColumn("wpm", wpm)
+        .withColumn("clipped_ppm", clipped_ppm)
+        .withColumn("silent_ppm", silent_ppm)
+    )
+    quality_ok = (
+        F.col("decode_ok")
+        & (F.col("clipped_ppm") < CLIPPED_PPM_MAX)
+        & (F.col("silent_ppm") < SILENT_PPM_MAX)
+        & F.col("wpm").between(WPM_MIN, WPM_MAX)
+    )
+    return d.select(
+        "clip_id", "decode_ok", "n_samples", "sum_sq", "dc_sum",
+        "n_clipped", "n_zero_cross", "n_frames", "n_silent_frames",
+        "n_words", "wpm", "clipped_ppm", "silent_ppm",
+        F.coalesce(quality_ok, F.lit(False)).alias("quality_ok"),
+    )
+
+
+def q_audio_seg_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segment containment (operators/segment_containment.py):
+    positional window-hash equi-join finds clips whose PCM is a leading
+    slice of another clip (the planted off-18/19 prefix slices) or an
+    exact-PCM twin — the AUDIO side of the suffix-array containment
+    stage.  Oracle: a plain-Python replica that groups windows by RAW
+    BYTES (independent of the 64-bit hash) in oracle/fixture.py."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.operators.segment_containment import (
+        compute_segment_hashes, segment_containment_pairs,
+    )
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    return segment_containment_pairs(compute_segment_hashes(clips))
+
+
 def _media_n(sf_dir: str) -> int:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -1244,6 +1315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fp_pairs": q_audio_fp_pairs,
     "audio_embed_neardup": q_audio_embed_neardup,
     "audio_sem_dedup": q_audio_sem_dedup,
+    "audio_quality": q_audio_quality,
+    "audio_seg_containment": q_audio_seg_containment,
     "audio_pair_verdict": q_audio_pair_verdict,
     "pipeline_metrics": q_pipeline_metrics,
 }
@@ -1259,6 +1332,7 @@ from quichash_spark.oracle.fixture import (  # noqa: E402
     DRIVER_N_CLIPS,
     aemb_fixture_dir,
     ann_fixture_dir,
+    aqual_fixture_dir,
     clips_fixture_dir,
     docs_fixture_dir,
     fp_fixture_dir,
@@ -1277,6 +1351,7 @@ _AEMB_FIX = aemb_fixture_dir()
 _STREAM_FIX = stream_fixture_dir()
 _VIDEO_FIX = video_fixture_dir()
 _IMAGE_FIX = image_fixture_dir()
+_AQUAL_FIX = aqual_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -1297,6 +1372,7 @@ AEMB_FIXTURE_KEYS = ("audio_embed_neardup", "audio_sem_dedup",
 STREAM_FIXTURE_KEYS = ("stream_neardup_assign", "stream_embed_assign")
 VIDEO_FIXTURE_KEYS = ("video_features",)
 IMAGE_FIXTURE_KEYS = ("image_features",)
+AQUAL_FIXTURE_KEYS = ("audio_quality", "audio_seg_containment")
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1739,6 +1815,34 @@ ORACLE_SQL: dict[str, str] = {
     "audio_fp_pairs": f"""
         select clip_a, clip_b, aligned_matches, total_matches, delta_frames
         from read_parquet('{_FP_FIX}/fp_pairs.parquet')
+    """,
+    # --- audio quality: raw integers from the plain-struct replica; the
+    # derived columns are DuckDB arithmetic here vs JVM expressions in
+    # the Spark query (both derive from the same integer contract) ---
+    "audio_quality": f"""
+        with raw as (
+          select *,
+            case when dur_ms > 0 then n_words * 60000 // dur_ms
+                 else 0 end as wpm,
+            case when n_samples > 0
+                 then n_clipped * 1000000 // n_samples end as clipped_ppm,
+            case when n_frames > 0
+                 then n_silent_frames * 1000000 // n_frames end as silent_ppm
+          from read_parquet('{_AQUAL_FIX}/quality.parquet')
+        )
+        select clip_id, decode_ok, n_samples, sum_sq, dc_sum, n_clipped,
+               n_zero_cross, n_frames, n_silent_frames, n_words,
+               wpm::BIGINT as wpm, clipped_ppm::BIGINT as clipped_ppm,
+               silent_ppm::BIGINT as silent_ppm,
+               coalesce(decode_ok and clipped_ppm < 1000
+                        and silent_ppm < 500000
+                        and wpm between 10 and 600, false) as quality_ok
+        from raw
+    """,
+    "audio_seg_containment": f"""
+        select clip_small, clip_big, n_shared, n_win_small, n_win_big,
+               relation
+        from read_parquet('{_AQUAL_FIX}/segment_pairs.parquet')
     """,
     # --- channel fusion: landmark + embedding evidence per pair ---
     "audio_pair_verdict": f"""

@@ -1026,3 +1026,151 @@ def ensure_image_fixture(n: int = DRIVER_N_IMAGES) -> str:
         )
 
     return _atomic_build(target, build)
+
+
+# ---------------------------------------------------------------------------
+# audio quality + segment containment replicas (r5)
+# ---------------------------------------------------------------------------
+#
+# Independence story: these replicas share NOTHING with the Spark path —
+# no numpy, no frozen kernels, not even the 64-bit window hash.  PCM is
+# decoded with plain ``struct``; metrics are pure-Python integer loops;
+# the segment-containment join groups windows by their RAW BYTES (so a
+# hash-function bug in the Spark side cannot self-confirm).  All output
+# values are integers/bools/strings, so the driver value-hash is exact.
+
+import struct  # noqa: E402
+
+from quichash_spark.functions.audio import PCM16_PADDED_HEADER as _PAD  # noqa: E402
+from quichash_spark.functions.audio_quality import (  # noqa: E402
+    CLIP_LEVEL, FRAME_MS, SILENCE_LEVEL,
+)
+from quichash_spark.operators.segment_containment import (  # noqa: E402
+    GROUP_CAP, WINDOW,
+)
+
+
+def _plain_decode(raw: bytes, codec: str) -> list[int] | None:
+    """struct-based PCM decode (independent of functions/audio.py)."""
+    if codec == "pcm16_padded":
+        raw = raw[_PAD:]
+    elif codec != "pcm16":
+        return None
+    n = len(raw) // 2
+    return list(struct.unpack(f"<{n}h", raw[: 2 * n]))
+
+
+def sequential_audio_quality(n: int) -> pd.DataFrame:
+    """Plain-Python replica of functions/audio_quality + the transcript
+    word count — raw integer columns only; the DERIVED columns (wpm,
+    ppm ratios, quality_ok) are left to the DuckDB oracle SQL so both
+    engines exercise that arithmetic independently."""
+    out = []
+    for i in range(n):
+        r = clip_row(i)
+        s = _plain_decode(r["bytes"], r["codec"])
+        row = {
+            "clip_id": r["clip_id"], "decode_ok": s is not None,
+            "n_samples": None, "sum_sq": None, "dc_sum": None,
+            "n_clipped": None, "n_zero_cross": None, "n_frames": None,
+            "n_silent_frames": None,
+            "dur_ms": int(r["dur_ms"]),
+            "n_words": len(r["transcript"].split()),
+        }
+        if s is not None:
+            win = max(1, int(r["sr_hz"]) * FRAME_MS // 1000)
+            nf = len(s) // win
+            n_silent = 0
+            for f in range(nf):
+                frame = s[f * win: (f + 1) * win]
+                if max(abs(v) for v in frame) < SILENCE_LEVEL:
+                    n_silent += 1
+            zc = 0
+            for a, b in zip(s, s[1:]):
+                if a * b < 0:
+                    zc += 1
+            row.update(
+                n_samples=len(s),
+                sum_sq=sum(v * v for v in s),
+                dc_sum=sum(s),
+                n_clipped=sum(1 for v in s if abs(v) >= CLIP_LEVEL),
+                n_zero_cross=zc,
+                n_frames=nf,
+                n_silent_frames=n_silent,
+            )
+        out.append(row)
+    df = pd.DataFrame(out)
+    for c in ("n_samples", "sum_sq", "dc_sum", "n_clipped",
+              "n_zero_cross", "n_frames", "n_silent_frames"):
+        df[c] = df[c].astype("Int64")
+    return df.astype({"dur_ms": "int32", "n_words": "int64"})
+
+
+def sequential_segment_pairs(n: int) -> pd.DataFrame:
+    """Plain-Python replica of operators/segment_containment: windows
+    keyed by raw bytes (never the 64-bit hash), dict-grouped by
+    (position, window bytes), hot groups dropped at GROUP_CAP, pairs
+    qualify when every full window of the smaller clip matches."""
+    from itertools import combinations
+
+    n_windows: dict[str, int] = {}
+    groups: dict[tuple[int, bytes], list[str]] = defaultdict(list)
+    step = 2 * WINDOW
+    for i in range(n):
+        r = clip_row(i)
+        s = _plain_decode(r["bytes"], r["codec"])
+        cid = r["clip_id"]
+        if s is None:
+            n_windows[cid] = 0
+            continue
+        raw = struct.pack(f"<{len(s)}h", *s)
+        wins = [raw[o: o + step] for o in range(0, len(raw) - step + 1, step)]
+        n_windows[cid] = len(wins)
+        for idx, w in enumerate(wins):
+            groups[(idx, w)].append(cid)
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    for members in groups.values():
+        if len(members) < 2 or len(members) > GROUP_CAP:
+            continue
+        for a, b in combinations(sorted(members), 2):
+            counts[(a, b)] += 1
+    out = []
+    for (a, b), c in counts.items():
+        nwa, nwb = n_windows[a], n_windows[b]
+        if c != min(nwa, nwb):
+            continue
+        small_is_a = nwa < nwb or (nwa == nwb and a < b)
+        out.append({
+            "clip_small": a if small_is_a else b,
+            "clip_big": b if small_is_a else a,
+            "n_shared": c,
+            "n_win_small": min(nwa, nwb),
+            "n_win_big": max(nwa, nwb),
+            "relation": "equal" if nwa == nwb else "contained",
+        })
+    df = pd.DataFrame(
+        out, columns=["clip_small", "clip_big", "n_shared",
+                      "n_win_small", "n_win_big", "relation"],
+    )
+    return df.astype({"n_shared": "int64", "n_win_small": "int64",
+                      "n_win_big": "int64"})
+
+
+def aqual_fixture_dir(n: int = DRIVER_N_CLIPS) -> str:
+    return os.path.join(
+        ROOT, f"aqual_f{FIXTURE_VERSION}_o{ORACLE_FIXTURE_VERSION}_n{n}"
+    )
+
+
+def ensure_aqual_fixture(n: int = DRIVER_N_CLIPS) -> str:
+    target = aqual_fixture_dir(n)
+
+    def build(tmp: str) -> None:
+        sequential_audio_quality(n).to_parquet(
+            os.path.join(tmp, "quality.parquet"), index=False
+        )
+        sequential_segment_pairs(n).to_parquet(
+            os.path.join(tmp, "segment_pairs.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)
