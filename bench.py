@@ -52,6 +52,8 @@ HEADLINE_QUERIES = [
     "media_probe",
     "audio_fp_pairs",
     "audio_embed_neardup",
+    "audio_quality",
+    "audio_seg_containment",
     "events_windowed",
     "verify_classification",
     "moved_detection",

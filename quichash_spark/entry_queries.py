@@ -1234,7 +1234,11 @@ def q_audio_seg_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     clips = materialized_clips(spark, _clips_n(sf_dir))
-    return segment_containment_pairs(compute_segment_hashes(clips))
+    # eager checkpoint: the hot-key aggregation and both self-join
+    # branches reuse the decoded window hashes instead of running the
+    # decode kernel three times (audio_fp_pairs pattern)
+    segs = compute_segment_hashes(clips).localCheckpoint(eager=True)
+    return segment_containment_pairs(segs)
 
 
 def _media_n(sf_dir: str) -> int:
