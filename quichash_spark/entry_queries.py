@@ -861,16 +861,16 @@ def q_clips_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality end-to-end (functions/video.py): deterministic
     synthetic AVI payloads generated executor-side (pure function of the
-    index), parsed + frame-sampled + perceptually hashed by
+    index, fixtures/media.py::gen_video_payload — DIB, I420 and YUY2
+    raw-frame codecs), parsed + frame-sampled + perceptually hashed by
     ``video_features``.  Value-checked (VERDICT r4 #3): DuckDB cannot
     parse AVI, so the oracle reads rows materialized by the same frozen
     kernels run item-by-item driver-side
     (oracle/fixture.py::sequential_video_features) — the fp/aemb
     fixture pattern."""
-    import numpy as np
     import pandas as pd
 
-    from quichash_spark.functions.video import encode_avi, video_features
+    from quichash_spark.functions.video import video_features
 
     n = max(20, _clips_n(sf_dir) // 25)
 
@@ -878,13 +878,11 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for i in pdf["id"]:
-                rng = np.random.default_rng([77, int(i)])
-                frames = rng.integers(
-                    0, 256, (int(rng.integers(4, 12)), 16, 16, 3), dtype=np.uint8
-                )
+                from quichash_spark.fixtures.media import gen_video_payload
+
                 rows.append({
                     "item_id": f"vid_{int(i):06d}",
-                    "payload": encode_avi(frames, fps=float(rng.integers(5, 31))),
+                    "payload": gen_video_payload(int(i)),
                 })
             yield pd.DataFrame(rows, columns=["item_id", "payload"])
 
@@ -900,8 +898,9 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image modality end-to-end (functions/multimodal.py image_features
-    over every REAL decoder — PNG, BMP, baseline + progressive JPEG,
-    WebP-lossless with transforms — plus a malformed row): deterministic
+    over every REAL decoder — PNG, BMP, baseline + progressive +
+    lossless (SOF3) JPEG, WebP-lossless with transforms — plus a
+    malformed row): deterministic
     payloads generated executor-side (pure function of the index,
     fixtures/media.py::gen_image_payload), decoded + phashed through the
     mapInPandas kernel.  DuckDB cannot decode these formats, so the

@@ -434,22 +434,38 @@ def encode_bmp24(img: np.ndarray) -> bytes:
     return header + bytes(rows)
 
 
+def gen_video_payload(i: int) -> bytes:
+    """Deterministic AVI payload for video item ``i``, cycling the
+    writer codec (uncompressed DIB, planar I420, packed YUY2 — g2) so
+    every raw-frame decoder in functions/video.py runs through the
+    driver correctness gate.  Shared verbatim by q_video_features and
+    the sequential oracle replica (the gen_image_payload pattern)."""
+    from quichash_spark.functions.video import encode_avi
+
+    rng = np.random.default_rng([77, i])
+    frames = rng.integers(
+        0, 256, (int(rng.integers(4, 12)), 16, 16, 3), dtype=np.uint8
+    )
+    codec = ("DIB ", "I420", "YUY2")[i % 3]
+    return encode_avi(frames, fps=float(rng.integers(5, 31)), codec=codec)
+
+
 def gen_image_payload(i: int) -> tuple[bytes, str]:
     """(payload, codec) for image item ``i`` — deterministic, covering
     every real image decoder through the driver correctness gate: PNG,
-    BMP, baseline AND progressive JPEG (flat q=1: exact up to DCT float
-    rounding), WebP-lossless with the r5 transforms (subtract-green +
-    predictor + color cache), plus a truncated payload that must come
-    back decode_ok=false."""
+    BMP, baseline AND progressive AND lossless (SOF3) JPEG (flat q=1:
+    exact up to DCT float rounding; lossless: bit-exact), WebP-lossless
+    with the r5 transforms (subtract-green + predictor + color cache),
+    plus a truncated payload that must come back decode_ok=false."""
     from quichash_spark.functions.imaging import encode_png
-    from quichash_spark.functions.jpeg import encode_jpeg
+    from quichash_spark.functions.jpeg import encode_jpeg, encode_jpeg_lossless
     from quichash_spark.functions.vp8l import encode_webp_lossless
 
     rng = np.random.default_rng([88, i])
     h = int(rng.integers(8, 25))
     w = int(rng.integers(8, 25))
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    kind = i % 6
+    kind = i % 7
     if kind == 0:
         return encode_png(img), "png"
     if kind == 1:
@@ -463,4 +479,8 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
             img, subtract_green=True, predictor=int(rng.integers(0, 14)),
             use_cache_bits=4,
         ), "webp"
+    if kind == 5:
+        return encode_jpeg_lossless(
+            img, predictor=1 + int(rng.integers(7))
+        ), "jpeg"
     return encode_png(img)[:20], "png"  # truncated -> decode_ok False

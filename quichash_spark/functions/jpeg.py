@@ -6,10 +6,12 @@ missing #4): baseline sequential DCT (SOF0) and progressive DCT (SOF2 —
 spectral selection + successive approximation, DC/AC first and
 refinement scans with EOB-run decoding per T.81 G.1.2/G.2), 8-bit
 precision, grayscale or YCbCr (JFIF), arbitrary sampling factors
-h,v <= 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers.  Arithmetic-coded,
-12-bit and hierarchical modes raise ``ValueError`` (genuinely rare; a
-wheel-backed decoder swaps in via IMAGE_CODECS exactly like blake3
-wheels do in hashreg).
+h,v <= 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers — plus LOSSLESS
+predictive mode (SOF3 per Annex H: all 7 predictors, 2-16 bit
+precision, point transform, SSSS=16 differences, restarts; see the
+section at the end of this module).  Arithmetic-coded and hierarchical
+modes raise ``ValueError`` (genuinely rare; a wheel-backed decoder
+swaps in via IMAGE_CODECS exactly like blake3 wheels do in hashreg).
 
 Same validation strategy as the PNG work: a spec-conformant ENCODER
 lives here too (Annex K default tables for baseline; flat custom tables
@@ -193,7 +195,10 @@ class _BitReader:
         self.nbits = 0
         self.marker = None
         d = self.data
-        # skip any fill bytes then the RST marker
+        # skip stuffed pad bytes (an all-ones flush byte becomes FF 00)
+        # and any FF fill bytes before the RST marker
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+            self.pos += 2
         while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
             self.pos += 1
         if not (self.pos + 1 < len(d) and d[self.pos] == 0xFF
@@ -207,8 +212,13 @@ class _BitReader:
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """bytes -> (h, w, 3) uint8 RGB (grayscale expands to 3 channels)."""
+def decode_jpeg(data: bytes, raw: bool = False) -> np.ndarray:
+    """bytes -> (h, w, 3) uint8 RGB (grayscale expands to 3 channels).
+
+    ``raw=True`` applies only to LOSSLESS (SOF3) streams: returns the
+    (h, w, nc) uint16 sample array at full precision instead of the
+    8-bit RGB rendering (DCT modes ignore it — they are 8-bit anyway).
+    """
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -249,16 +259,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17 : i + 17 + n])
                 htables[(cls, tid)] = _build_decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"unsupported JPEG precision {prec}")
+            elif prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "progressive": marker == 0xC2,
+                     "lossless": marker == 0xC3}
             if frame["progressive"]:
                 # coefficient state persists across the whole scan script,
                 # so allocate it at frame level (MCU grid from FRAME
@@ -277,11 +291,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     c["coef"] = np.zeros(
                         (frame["mcus_y"] * c["v"] * c["bw"], 64), np.int32
                     )
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0}): baseline "
-                "sequential (SOF0) and progressive (SOF2) are implemented"
+                "sequential (SOF0), progressive (SOF2) and lossless "
+                "(SOF3) are implemented"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -294,6 +309,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
+            if frame.get("lossless"):
+                ss = body[1 + 2 * ns]  # predictor selection value
+                pt = body[3 + 2 * ns] & 0x0F  # point transform (Al)
+                return _lossless_scan(
+                    data, pos + 2 + seg_len, frame, scan, htables,
+                    restart_interval, ss, pt, raw,
+                )
             if not frame["progressive"]:
                 return _decode_scan(
                     data, pos + 2 + seg_len, frame, scan, qtables, htables,
@@ -922,3 +944,218 @@ def _write_progressive_scans(out, seg, zzs, nc):
 
 
 __all__ = ["decode_jpeg", "encode_jpeg", "ZIGZAG"]
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (T.81 Annex H: SOF3, predictive DPCM, 2-16 bit)
+# ---------------------------------------------------------------------------
+#
+# Prediction per H.1.2.1 (Ra = left, Rb = above, Rc = above-left):
+#   psv 1..7 -> Ra | Rb | Rc | Ra+Rb-Rc | Ra+((Rb-Rc)>>1) |
+#               Rb+((Ra-Rc)>>1) | (Ra+Rb)>>1
+# Edge rules: the very first sample (and the first sample of each
+# component after a restart) predicts 1 << (P - Pt - 1); the rest of the
+# first line uses Ra; the first column uses Rb.  Differences are coded
+# with a DC-class Huffman table as SSSS + extended bits, SSSS = 16
+# meaning +32768 with NO extra bits (H.1.2.2); reconstruction is modulo
+# 2^16.  Multi-component scans are supported interleaved at 1x1
+# sampling (the common RGB/CFA layout); 3-component lossless output is
+# RGB DIRECTLY (lossless JPEG carries no JFIF YCbCr contract).
+
+
+def _ll_predict(plane, x, y, psv):
+    a = int(plane[y, x - 1]) if x else 0
+    b = int(plane[y - 1, x]) if y else 0
+    if y == 0:
+        return a  # first line: Ra (x == 0 handled by the caller)
+    if x == 0:
+        return b  # first column: Rb
+    if psv == 1:
+        return a
+    if psv == 2:
+        return b
+    c = int(plane[y - 1, x - 1])
+    if psv == 3:
+        return c
+    if psv == 4:
+        return a + b - c
+    if psv == 5:
+        return a + ((b - c) >> 1)
+    if psv == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1
+
+
+def _ll_diff_decode(br, tab):
+    s = br.decode_symbol(tab)
+    if s == 16:
+        return 32768  # H.1.2.2: SSSS=16 -> difference 32768, no bits
+    return _extend(br.read_bits(s), s) if s else 0
+
+
+def _lossless_scan(data, pos, frame, scan, htables, restart_interval,
+                   psv, pt, raw):
+    prec = frame["prec"]
+    if not 1 <= psv <= 7:
+        raise ValueError(f"unsupported lossless JPEG predictor {psv}")
+    if len(scan) != len(frame["comps"]):
+        raise ValueError("multi-scan lossless JPEG not supported")
+    ns = len(scan)
+    if ns > 1 and any(c["h"] != 1 or c["v"] != 1 for c in scan):
+        raise ValueError("interleaved lossless JPEG requires 1x1 sampling")
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    for c in scan:
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        c["plane"] = np.zeros((ch, cw), np.int32)
+        c["tab"] = htables.get((0, c["td"]))
+        if c["tab"] is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+
+    br = _BitReader(data, pos)
+    default = 1 << (prec - pt - 1)
+    fresh = {id(c) for c in scan}  # components awaiting default predict
+
+    def decode_sample(c, x, y):
+        diff = _ll_diff_decode(br, c["tab"])
+        if id(c) in fresh:
+            px = default
+            fresh.discard(id(c))
+        else:
+            px = default if (x == 0 and y == 0) else _ll_predict(
+                c["plane"], x, y, psv
+            )
+        c["plane"][y, x] = (px + diff) & 0xFFFF
+
+    if ns == 1:
+        c = scan[0]
+        ch, cw = c["plane"].shape
+        m = 0
+        for y in range(ch):
+            for x in range(cw):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.restart()
+                    fresh.add(id(c))
+                decode_sample(c, x, y)
+                m += 1
+    else:
+        ch, cw = scan[0]["plane"].shape
+        m = 0
+        for y in range(ch):
+            for x in range(cw):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.restart()
+                    fresh.update(id(c) for c in scan)
+                for c in scan:
+                    decode_sample(c, x, y)
+                m += 1
+
+    planes = [(c["plane"] << pt) & 0xFFFF for c in scan]
+    if raw:
+        return np.stack(planes, axis=2).astype(np.uint16)
+    # 8-bit RGB rendering for the uniform decode contract
+    shift = prec - 8
+    scaled = [
+        (p >> shift if shift > 0 else p << -shift) if shift else p
+        for p in planes
+    ]
+    if ns == 1:
+        g = np.clip(scaled[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    if ns != 3:
+        raise ValueError(f"unsupported JPEG component count {ns}")
+    return np.clip(np.stack(scaled, axis=2), 0, 255).astype(np.uint8)
+
+
+#: Huffman table for the lossless writer: all 17 SSSS symbols (0-16) at
+#: code length 5 (17 <= 32 codes; the all-ones code stays unused)
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = bytes(range(17))
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
+                         precision: int | None = None,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """Spec-conformant SOF3 writer (exists to validate the decoder).
+
+    ``img``: (h, w) or (h, w, nc) unsigned integers.  ``precision``
+    defaults to 8 for uint8 input, else 16.  The encoder divides samples
+    by 2 ** ``point_transform`` (the spec's Pt step), so a round trip is
+    exact when ``point_transform`` is 0 and loses exactly the Pt low
+    bits otherwise."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, nc = img.shape
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    pt = point_transform
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    planes = [(img[..., i].astype(np.int64) >> pt).astype(np.int32)
+              for i in range(nc)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + _LL_VALS)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC3, sof)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([predictor, 0, pt])
+    seg(0xDA, sos)
+
+    enc = _build_encode_table(_LL_BITS, _LL_VALS)
+    bw = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    fresh = set(range(nc))
+    rst = 0
+
+    def emit(ci: int, x: int, y: int) -> None:
+        nonlocal fresh
+        p = planes[ci]
+        if ci in fresh:
+            px = default
+            fresh.discard(ci)
+        else:
+            px = default if (x == 0 and y == 0) else _ll_predict(p, x, y, predictor)
+        d = (int(p[y, x]) - px) & 0xFFFF
+        if d == 32768:
+            code, ln = enc[16]
+            bw.write(code, ln)  # SSSS=16: no extra bits
+            return
+        if d > 32768:
+            d -= 65536
+        size = abs(d).bit_length()
+        code, ln = enc[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(d if d > 0 else d + (1 << size) - 1, size)
+
+    m = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                out.extend(bw.out)
+                bw.out = bytearray()
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                fresh = set(range(nc))
+            for ci in range(nc):
+                emit(ci, x, y)
+            m += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -5,9 +5,11 @@ columns with typed metadata): the CONTAINER layer is fully real —
 AVI/RIFF structure, ``avih`` main header, ``movi`` frame chunks — and
 uncompressed 24-bit DIB frames (``biCompression=0``, the standard raw
 AVI payload) decode to RGB with the same bottom-up padded-BGR row logic
-as the BMP decoder.  Compressed codecs inside the container (MJPEG is
-decodable via :mod:`quichash_spark.functions.jpeg`; anything else
-raises) follow the per-frame dispatch in :data:`FRAME_DECODERS`.
+as the BMP decoder.  Raw YUV fourccs decode for real too: planar 4:2:0
+``I420``/``IYUV`` and packed 4:2:2 ``YUY2`` through BT.601
+limited-range conversion.  Compressed codecs inside the container
+(MJPEG is decodable via :mod:`quichash_spark.functions.jpeg`; anything
+else raises) follow the per-frame dispatch in :data:`FRAME_DECODERS`.
 
 Frame sampling uses :func:`quichash_spark.functions.multimodal.
 frame_sample_indices` (deterministic uniform), and the per-frame
@@ -60,12 +62,76 @@ def _decode_mjpeg_frame(payload: bytes, w: int, h: int) -> np.ndarray:
     return decode_jpeg(payload)
 
 
+# BT.601 limited-range YCbCr (the historical AVI/VfW convention for raw
+# YUV fourccs): Y' in [16, 235], Cb/Cr in [16, 240].
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    c = y.astype(np.float64) - 16.0
+    d = u.astype(np.float64) - 128.0
+    e = v.astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            1.164 * c + 1.596 * e,
+            1.164 * c - 0.392 * d - 0.813 * e,
+            1.164 * c + 2.017 * d,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_yuv(frame: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = frame[..., 0].astype(np.float64)
+    g = frame[..., 1].astype(np.float64)
+    b = frame[..., 2].astype(np.float64)
+    y = 0.257 * r + 0.504 * g + 0.098 * b + 16.0
+    u = -0.148 * r - 0.291 * g + 0.439 * b + 128.0
+    v = 0.439 * r - 0.368 * g - 0.071 * b + 128.0
+    clip = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(u), clip(v)
+
+
+def _decode_i420_frame(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Planar YUV 4:2:0 ('I420'/'IYUV'): full-res Y plane followed by
+    quarter-res U then V planes; chroma replicated 2x2 on upsample."""
+    if w % 2 or h % 2:
+        raise ValueError("I420 frame dimensions must be even")
+    need = w * h + 2 * (w // 2) * (h // 2)
+    if len(payload) < need:
+        raise ValueError("AVI I420 frame truncated")
+    buf = np.frombuffer(payload, np.uint8, need)
+    y = buf[: w * h].reshape(h, w)
+    cw, ch = w // 2, h // 2
+    u = buf[w * h : w * h + cw * ch].reshape(ch, cw)
+    v = buf[w * h + cw * ch : need].reshape(ch, cw)
+    u = u.repeat(2, axis=0).repeat(2, axis=1)
+    v = v.repeat(2, axis=0).repeat(2, axis=1)
+    return _yuv_to_rgb(y, u, v)
+
+
+def _decode_yuy2_frame(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Packed YUV 4:2:2 ('YUY2'): Y0 U Y1 V per horizontal pixel pair;
+    chroma replicated across the pair on upsample."""
+    if w % 2:
+        raise ValueError("YUY2 frame width must be even")
+    need = w * h * 2
+    if len(payload) < need:
+        raise ValueError("AVI YUY2 frame truncated")
+    quad = np.frombuffer(payload, np.uint8, need).reshape(h, w // 2, 4)
+    y = quad[..., (0, 2)].reshape(h, w)
+    u = quad[..., 1].repeat(2, axis=1)
+    v = quad[..., 3].repeat(2, axis=1)
+    return _yuv_to_rgb(y, u, v)
+
+
 #: fourcc (lowercased) -> frame decoder; '00db' raw frames use DIB
 FRAME_DECODERS = {
     "dib ": _decode_dib_frame,
     "raw ": _decode_dib_frame,
     "\x00\x00\x00\x00": _decode_dib_frame,
     "mjpg": _decode_mjpeg_frame,
+    "i420": _decode_i420_frame,
+    "iyuv": _decode_i420_frame,  # alias fourcc, identical layout
+    "yuy2": _decode_yuy2_frame,
 }
 
 
@@ -121,13 +187,60 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     return frames, fps
 
 
-def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
-    """Minimal spec-conformant AVI writer (uncompressed 24-bit DIB
-    frames) — interop/test fixture producer, mirroring encode_wav/
-    encode_png/encode_flac."""
+def _encode_dib_payload(f: np.ndarray, stride: int) -> bytes:
+    h, w = f.shape[:2]
+    bgr_bottom_up = f[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr_bottom_up.reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _encode_i420_payload(f: np.ndarray) -> bytes:
+    y, u, v = _rgb_to_yuv(f)
+    h, w = y.shape
+    # 2x2 box average for the quarter-res chroma planes
+    sub = lambda p: np.round(  # noqa: E731
+        p.astype(np.float64).reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    return y.tobytes() + sub(u).tobytes() + sub(v).tobytes()
+
+
+def _encode_yuy2_payload(f: np.ndarray) -> bytes:
+    y, u, v = _rgb_to_yuv(f)
+    h, w = y.shape
+    pair = lambda p: np.round(  # noqa: E731
+        p.astype(np.float64).reshape(h, w // 2, 2).mean(axis=2)
+    ).astype(np.uint8)
+    quad = np.empty((h, w // 2, 4), np.uint8)
+    quad[..., 0] = y[:, 0::2]
+    quad[..., 1] = pair(u)
+    quad[..., 2] = y[:, 1::2]
+    quad[..., 3] = pair(v)
+    return quad.tobytes()
+
+
+def encode_avi(frames: np.ndarray, fps: float = 10.0,
+               codec: str = "DIB ") -> bytes:
+    """Minimal spec-conformant AVI writer — interop/test fixture
+    producer, mirroring encode_wav/encode_png/encode_flac.  ``codec``:
+    ``"DIB "`` (uncompressed 24-bit bottom-up BGR), ``"I420"`` (planar
+    YUV 4:2:0) or ``"YUY2"`` (packed YUV 4:2:2) — the latter two
+    round-trip through the BT.601 conversion, so they validate the raw
+    YUV frame decoders without an external tool."""
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
+    codec = codec.upper().ljust(4)[:4]
+    enc = {
+        "DIB ": (lambda f: _encode_dib_payload(f, stride), 24, 0, stride * h),
+        "I420": (_encode_i420_payload, 12, struct.unpack("<I", b"I420")[0],
+                 w * h * 3 // 2),
+        "YUY2": (_encode_yuy2_payload, 16, struct.unpack("<I", b"YUY2")[0],
+                 w * h * 2),
+    }.get(codec)
+    if enc is None:
+        raise ValueError(f"unsupported AVI writer codec {codec!r}")
+    payload_of, bpp, compression, frame_size = enc
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -139,19 +252,17 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
     avih = struct.pack(
         "<14I", int(1_000_000 / fps), 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0
     )
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
-                                            int(fps), 0, n, 0, 0, 0, 0)
+    strh = (b"vids" + codec.encode("latin-1")
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                          int(fps), 0, n, 0, 0, 0, 0)
             + struct.pack("<4h", 0, 0, 0, 0))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       frame_size, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body = b""
     for f in frames:
-        bgr_bottom_up = f[::-1, :, ::-1]
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = bgr_bottom_up.reshape(h, w * 3)
-        movi_body += chunk(b"00db", rows.tobytes())
+        movi_body += chunk(b"00db", payload_of(f))
     movi = lst(b"movi", movi_body)
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -919,18 +919,15 @@ def sequential_video_features(n: int = DRIVER_N_VIDEOS) -> pd.DataFrame:
     proves the distributed batching/schema machinery is faithful to the
     kernels (the fp/aemb fixture pattern; DuckDB cannot parse AVI, so
     the oracle SQL reads these materialized rows back)."""
+    from quichash_spark.fixtures.media import gen_video_payload
     from quichash_spark.functions.multimodal import (
         _phash8, frame_sample_indices,
     )
-    from quichash_spark.functions.video import decode_avi, encode_avi
+    from quichash_spark.functions.video import decode_avi
 
     out = []
     for i in range(n):
-        rng = np.random.default_rng([77, i])
-        frames_in = rng.integers(
-            0, 256, (int(rng.integers(4, 12)), 16, 16, 3), dtype=np.uint8
-        )
-        payload = encode_avi(frames_in, fps=float(rng.integers(5, 31)))
+        payload = gen_video_payload(i)
         frames, fps = decode_avi(payload)
         idx = frame_sample_indices(frames.shape[0], 4)
         luma = float(
@@ -950,9 +947,14 @@ def sequential_video_features(n: int = DRIVER_N_VIDEOS) -> pd.DataFrame:
     return df.astype({"n_frames": "int32", "width": "int32", "height": "int32"})
 
 
+#: bump when gen_video_payload's codec matrix changes (g2: cycles
+#: DIB / I420 / YUY2 raw-frame codecs)
+_VIDEO_GEN_VERSION = 2
+
+
 def video_fixture_dir(n: int = DRIVER_N_VIDEOS) -> str:
     return os.path.join(
-        ROOT, f"video_o{ORACLE_FIXTURE_VERSION}_n{n}"
+        ROOT, f"video_o{ORACLE_FIXTURE_VERSION}_g{_VIDEO_GEN_VERSION}_n{n}"
     )
 
 
@@ -1013,8 +1015,15 @@ def sequential_image_features(n: int = DRIVER_N_IMAGES) -> pd.DataFrame:
     return df.astype({"width": "Int32", "height": "Int32"})
 
 
+#: bump when gen_image_payload's codec matrix changes (g2: + lossless
+#: SOF3 JPEG at kind 5)
+_IMAGE_GEN_VERSION = 2
+
+
 def image_fixture_dir(n: int = DRIVER_N_IMAGES) -> str:
-    return os.path.join(ROOT, f"image_o{ORACLE_FIXTURE_VERSION}_n{n}")
+    return os.path.join(
+        ROOT, f"image_o{ORACLE_FIXTURE_VERSION}_g{_IMAGE_GEN_VERSION}_n{n}"
+    )
 
 
 def ensure_image_fixture(n: int = DRIVER_N_IMAGES) -> str:

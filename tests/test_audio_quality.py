@@ -148,3 +148,12 @@ class TestSparkSide:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bench_headline_queries_all_registered():
+    """bench.py's timed set must stay a subset of the query registry."""
+    import bench
+    from quichash_spark.entry_queries import QUERIES
+
+    missing = [q for q in bench.HEADLINE_QUERIES if q not in QUERIES]
+    assert missing == []

@@ -139,3 +139,54 @@ def test_avi_mjpeg_frames_decode_via_jpeg():
     back, _ = V.decode_avi(new)
     assert back.shape == frames.shape
     assert int(np.abs(back.astype(int) - frames.astype(int)).max()) <= 2
+
+
+def test_avi_i420_yuy2_roundtrip():
+    """Raw YUV frame codecs (r5): constant-color frames round-trip the
+    BT.601 conversion within rounding (chroma subsampling is exact on
+    constant blocks); gradients bound the per-pixel luma error."""
+    import numpy as np
+
+    from quichash_spark.functions import video as V
+
+    solid = np.zeros((3, 16, 16, 3), np.uint8)
+    solid[0] = (200, 40, 90)
+    solid[1] = (10, 250, 128)
+    solid[2] = (77, 77, 77)
+    for codec in ("I420", "YUY2"):
+        back, fps = V.decode_avi(V.encode_avi(solid, fps=10.0, codec=codec))
+        assert back.shape == solid.shape and abs(fps - 10.0) < 1e-6
+        assert int(np.abs(back.astype(int) - solid.astype(int)).max()) <= 2
+
+    y, x = np.mgrid[0:16, 0:16]
+    grad = np.stack([x * 16, y * 16, (x + y) * 8], axis=-1).astype(np.uint8)[None]
+    for codec in ("I420", "YUY2"):
+        back, _ = V.decode_avi(V.encode_avi(grad, codec=codec))
+        # luma reconstructs tightly; chroma smoothing spreads over the
+        # 2x2 / 1x2 subsample blocks
+        luma = lambda f: f.astype(np.float64) @ np.array([0.299, 0.587, 0.114])  # noqa: E731
+        assert float(np.abs(luma(back[0]) - luma(grad[0])).max()) <= 6.0
+
+
+def test_avi_yuv_headers_and_dispatch():
+    """I420/YUY2 streams carry the right strh fourcc + strf compression
+    and dispatch through FRAME_DECODERS (incl. the IYUV alias)."""
+    import struct
+
+    import numpy as np
+
+    from quichash_spark.functions import video as V
+
+    f = np.full((2, 16, 16, 3), 128, np.uint8)
+    data = V.encode_avi(f, codec="I420")
+    assert b"vidsI420" in data
+    i = data.find(b"strf") + 8
+    comp = struct.unpack_from("<I", data, i + 16)[0]
+    assert comp == struct.unpack("<I", b"I420")[0]
+    # IYUV alias decodes identically to I420
+    aliased = data.replace(b"vidsI420", b"vidsIYUV")
+    np.testing.assert_array_equal(
+        V.decode_avi(aliased)[0], V.decode_avi(data)[0]
+    )
+    with __import__("pytest").raises(ValueError, match="codec"):
+        V.encode_avi(f, codec="XVID")
