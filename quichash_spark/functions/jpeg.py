@@ -4,14 +4,16 @@ stdlib + numpy only.
 Closes the last *closeable* image-codec stubs (VERDICT r3 #5, r4
 missing #4): baseline sequential DCT (SOF0) and progressive DCT (SOF2 —
 spectral selection + successive approximation, DC/AC first and
-refinement scans with EOB-run decoding per T.81 G.1.2/G.2), 8-bit
-precision, grayscale or YCbCr (JFIF), arbitrary sampling factors
-h,v <= 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers — plus LOSSLESS
-predictive mode (SOF3 per Annex H: all 7 predictors, 2-16 bit
-precision, point transform, SSSS=16 differences, restarts; see the
-section at the end of this module).  Arithmetic-coded and hierarchical
-modes raise ``ValueError`` (genuinely rare; a wheel-backed decoder
-swaps in via IMAGE_CODECS exactly like blake3 wheels do in hashreg).
+refinement scans with EOB-run decoding per T.81 G.1.2/G.2), grayscale
+or YCbCr (JFIF), arbitrary sampling factors h,v <= 2 (4:4:4 / 4:2:2 /
+4:2:0), restart markers — plus 12-BIT extended sequential (SOF1:
+level shift at 2048, 16-bit quant tables, extended Huffman categories)
+and LOSSLESS predictive mode (SOF3 per Annex H: all 7 predictors,
+2-16 bit precision, point transform, SSSS=16 differences, restarts;
+see the sections at the end of this module).  Arithmetic-coded and
+hierarchical modes raise ``ValueError`` (genuinely rare; a
+wheel-backed decoder swaps in via IMAGE_CODECS exactly like blake3
+wheels do in hashreg).
 
 Same validation strategy as the PNG work: a spec-conformant ENCODER
 lives here too (Annex K default tables for baseline; flat custom tables
@@ -259,10 +261,13 @@ def decode_jpeg(data: bytes, raw: bool = False) -> np.ndarray:
                 vals = bytes(body[i + 17 : i + 17 + n])
                 htables[(cls, tid)] = _build_decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if marker == 0xC3:
                 if not 2 <= prec <= 16:
+                    raise ValueError(f"unsupported JPEG precision {prec}")
+            elif marker == 0xC1:  # extended sequential: 8- or 12-bit
+                if prec not in (8, 12):
                     raise ValueError(f"unsupported JPEG precision {prec}")
             elif prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -291,12 +296,12 @@ def decode_jpeg(data: bytes, raw: bool = False) -> np.ndarray:
                     c["coef"] = np.zeros(
                         (frame["mcus_y"] * c["v"] * c["bw"], 64), np.int32
                     )
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG mode (SOF{marker - 0xC0}): baseline "
-                "sequential (SOF0), progressive (SOF2) and lossless "
-                "(SOF3) are implemented"
+                f"unsupported JPEG mode (SOF{marker - 0xC0}): sequential "
+                "(SOF0/SOF1 incl. 12-bit), progressive (SOF2) and "
+                "lossless (SOF3) are implemented"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -396,21 +401,26 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                     col = mx * c["h"] + bx
                     c["coef"][row * c["bw"] + col] = blk
 
-    return _reconstruct(scan, qtables, h, w, hmax, vmax)
+    return _reconstruct(scan, qtables, h, w, hmax, vmax,
+                        prec=frame.get("prec", 8))
 
 
-def _reconstruct(comps, qtables, h, w, hmax, vmax):
+def _reconstruct(comps, qtables, h, w, hmax, vmax, prec=8):
     """Per-component coefficient stores (zigzag order) -> RGB image.
     Batched numpy: dequant + dezigzag + iDCT + upsample + color convert.
-    Shared by the baseline single-scan path and the progressive
-    end-of-scan-script path."""
+    Shared by the baseline/extended single-scan path and the progressive
+    end-of-scan-script path.  12-bit samples (SOF1 extended sequential)
+    are level-shifted at 2048 and scaled down to the 8-bit output
+    contract before the (0-255-domain) color conversion."""
     planes = []
     for c in comps:
         q = qtables[c["tq"]]
         deq = c["coef"] * q  # both in zigzag order
         blocks = np.zeros((deq.shape[0], 64), dtype=np.float64)
         blocks[:, ZIGZAG] = deq  # dezigzag
-        spatial = _idct2_batch(blocks.reshape(-1, 8, 8)) + 128.0
+        spatial = _idct2_batch(blocks.reshape(-1, 8, 8)) + float(1 << (prec - 1))
+        if prec > 8:
+            spatial /= float(1 << (prec - 8))
         bh = deq.shape[0] // c["bw"]
         plane = (
             spatial.reshape(bh, c["bw"], 8, 8)
@@ -1155,6 +1165,91 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
             for ci in range(nc):
                 emit(ci, x, y)
             m += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential encoder (SOF1; exists to validate the decoder)
+# ---------------------------------------------------------------------------
+
+#: complete-alphabet Huffman tables for 12-bit precision: DC difference
+#: categories reach 16 and AC sizes 15 (coefficients fit prec+3 signed
+#: bits), which Annex K's 8-bit tables cannot code.  DC: 17 symbols at
+#: length 5; AC: ZRL + EOB + (run, size 1-15) = 242 symbols at length 8
+#: (all-ones code unused in both).
+_EXT_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_EXT_DC_VALS = bytes(range(17))
+_EXT_AC_SYMS = sorted(
+    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 16)}
+)
+_EXT_AC_BITS = [0] * 16
+_EXT_AC_BITS[7] = len(_EXT_AC_SYMS)
+_EXT_AC_VALS = bytes(_EXT_AC_SYMS)
+
+
+def encode_jpeg12(img: np.ndarray, qtable: np.ndarray | int = 1) -> bytes:
+    """Minimal 12-bit extended sequential (SOF1) writer: input uint16
+    samples in [0, 4095], grayscale or RGB (4:4:4, YCbCr with the chroma
+    midpoint at 2048).  16-bit (Pq=1) quantization table as T.81
+    prescribes for 12-bit precision; flat ``qtable=1`` keeps the round
+    trip exact up to DCT float rounding (the baseline-writer contract)."""
+    img = np.asarray(img)
+    if img.max(initial=0) > 4095:
+        raise ValueError("12-bit JPEG samples must be in [0, 4095]")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = (np.full(64, int(qtable), np.int32) if np.isscalar(qtable)
+         else np.asarray(qtable, np.int32))
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    zzs = []
+    for p in planes:
+        padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        coeffs = _dct2_batch(_plane_blocks(padded - 2048.0))
+        zzs.append(
+            np.round(coeffs.reshape(-1, 64)[:, ZIGZAG] / q).astype(np.int32)
+        )
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xDB, bytes([0x10]) + b"".join(
+        struct.pack(">H", int(x)) for x in q
+    ))  # Pq=1: 16-bit table
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 12, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC1, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_EXT_DC_BITS) + _EXT_DC_VALS
+        + bytes([0x10]) + bytes(_EXT_AC_BITS) + _EXT_AC_VALS)
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    dc_tab = _build_encode_table(_EXT_DC_BITS, _EXT_DC_VALS)
+    ac_tab = _build_encode_table(_EXT_AC_BITS, _EXT_AC_VALS)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for i in range(zzs[0].shape[0]):
+        for ci in range(nc):
+            preds[ci] = _encode_block(bw, zzs[ci][i], preds[ci], dc_tab, ac_tab)
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")

@@ -128,3 +128,47 @@ def test_dispatches_through_image_codec_registry():
     img = _rng(6).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
     out = IMAGE_CODECS["jpeg"](encode_jpeg_lossless(img))
     np.testing.assert_array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1) — same validation strategy
+# ---------------------------------------------------------------------------
+
+
+def test_12bit_gray_and_rgb_roundtrip():
+    from quichash_spark.functions.jpeg import encode_jpeg12
+
+    rng = _rng(7)
+    gray = rng.integers(0, 4096, (19, 23), dtype=np.uint16)
+    got = decode_jpeg(encode_jpeg12(gray))
+    want = np.clip(np.round(gray / 16.0), 0, 255)
+    assert float(np.abs(got[..., 0].astype(float) - want).max()) <= 1.0
+
+    rgb = rng.integers(0, 4096, (16, 16, 3), dtype=np.uint16)
+    got = decode_jpeg(encode_jpeg12(rgb))
+    want = np.clip(np.round(rgb / 16.0), 0, 255)
+    assert float(np.abs(got.astype(float) - want).max()) <= 1.0
+
+
+def test_12bit_extremes_and_validation():
+    from quichash_spark.functions.jpeg import encode_jpeg12
+
+    # rail-to-rail checkerboard maximizes DC diffs between blocks (the
+    # extended DC categories) and high-frequency AC magnitudes
+    y, x = np.mgrid[0:24, 0:24]
+    board = (((x // 8 + y // 8) % 2) * 4095).astype(np.uint16)
+    got = decode_jpeg(encode_jpeg12(board))
+    want = np.clip(np.round(board / 16.0), 0, 255)
+    assert float(np.abs(got[..., 0].astype(float) - want).max()) <= 1.0
+
+    with pytest.raises(ValueError, match="4095"):
+        encode_jpeg12(np.array([[5000]], np.uint16))
+
+
+def test_12bit_uses_sof1_and_16bit_quant():
+    from quichash_spark.functions.jpeg import encode_jpeg12
+
+    data = encode_jpeg12(np.zeros((8, 8), np.uint16))
+    assert b"\xff\xc1" in data and b"\xff\xc0" not in data
+    i = data.find(b"\xff\xdb")
+    assert data[i + 4] == 0x10  # Pq=1: 16-bit table per 12-bit precision
