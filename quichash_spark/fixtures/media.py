@@ -458,14 +458,16 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
     with the r5 transforms (subtract-green + predictor + color cache),
     plus a truncated payload that must come back decode_ok=false."""
     from quichash_spark.functions.imaging import encode_png
-    from quichash_spark.functions.jpeg import encode_jpeg, encode_jpeg_lossless
+    from quichash_spark.functions.jpeg import (
+        encode_jpeg, encode_jpeg12, encode_jpeg_lossless,
+    )
     from quichash_spark.functions.vp8l import encode_webp_lossless
 
     rng = np.random.default_rng([88, i])
     h = int(rng.integers(8, 25))
     w = int(rng.integers(8, 25))
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    kind = i % 7
+    kind = i % 8
     if kind == 0:
         return encode_png(img), "png"
     if kind == 1:
@@ -483,4 +485,6 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
         return encode_jpeg_lossless(
             img, predictor=1 + int(rng.integers(7))
         ), "jpeg"
+    if kind == 6:  # 12-bit extended sequential: 8-bit samples upscaled
+        return encode_jpeg12(img.astype(np.uint16) * 16), "jpeg"
     return encode_png(img)[:20], "png"  # truncated -> decode_ok False

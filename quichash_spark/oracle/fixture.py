@@ -1016,8 +1016,8 @@ def sequential_image_features(n: int = DRIVER_N_IMAGES) -> pd.DataFrame:
 
 
 #: bump when gen_image_payload's codec matrix changes (g2: + lossless
-#: SOF3 JPEG at kind 5)
-_IMAGE_GEN_VERSION = 2
+#: SOF3 JPEG at kind 5; g3: + 12-bit SOF1 at kind 6)
+_IMAGE_GEN_VERSION = 3
 
 
 def image_fixture_dir(n: int = DRIVER_N_IMAGES) -> str:

@@ -135,3 +135,36 @@ def test_resample_length_and_bounds(n, sr, tgt):
     assert y.shape == (int(round(n * tgt / sr)),)
     if y.size:
         assert y.min() >= x.min() - 1e-9 and y.max() <= x.max() + 1e-9
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24), st.integers(1, 7),
+    st.sampled_from([8, 12, 16]), st.integers(0, 2), st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_lossless_jpeg_roundtrip_property(h, w, psv, prec, pt, seed):
+    """SOF3 is bit-exact for every (shape, predictor, precision, point
+    transform) up to exactly the Pt dropped low bits."""
+    from quichash_spark.functions.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 1 << prec, (h, w), dtype=np.uint16)
+    data = encode_jpeg_lossless(
+        img, predictor=psv, precision=prec, point_transform=pt
+    )
+    got = decode_jpeg(data, raw=True)[..., 0]
+    np.testing.assert_array_equal(got, (img >> pt).astype(np.uint16) << pt)
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg12_roundtrip_property(h, w, seed):
+    """SOF1 12-bit flat-quant round trips within 1 of the ideal 8-bit
+    rendering for any shape (incl. non-multiple-of-8 edge padding)."""
+    from quichash_spark.functions.jpeg import decode_jpeg, encode_jpeg12
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 4096, (h, w), dtype=np.uint16)
+    got = decode_jpeg(encode_jpeg12(img))[..., 0].astype(float)
+    want = np.clip(np.round(img / 16.0), 0, 255)
+    assert float(np.abs(got - want).max()) <= 1.0
