@@ -146,4 +146,13 @@ def oracle_sql() -> dict[str, str]:
 
         for k in AQUAL_FIXTURE_KEYS:
             out.pop(k, None)
+    try:
+        from quichash_spark.oracle.fixture import ensure_cdc_fixture
+
+        ensure_cdc_fixture()
+    except Exception:  # noqa: BLE001
+        from quichash_spark.entry_queries import CDC_FIXTURE_KEYS
+
+        for k in CDC_FIXTURE_KEYS:
+            out.pop(k, None)
     return out

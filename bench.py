@@ -45,6 +45,7 @@ HEADLINE_QUERIES = [
     "text_langid",
     "text_pii_scrub",
     "text_repetition",
+    "cdc_dup_stats",
     "doc_fingerprint",
     "sim_topk",
     "sim_ann_lsh",

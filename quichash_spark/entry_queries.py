@@ -1165,6 +1165,34 @@ def q_audio_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/cdc_dedup.py): Gear
+    rolling-hash chunk boundaries make shared boilerplate chunk
+    identically at ANY byte offset, so the injected header/footer runs
+    are detected as duplicated bytes without any pairwise comparison —
+    the byte-level dedup pass of a pretraining pipeline.  Oracle: a
+    scalar-recurrence replica chunker grouping by RAW chunk bytes
+    (independent of both the vectorized windowed-sum kernel and the
+    64-bit chunk hash), oracle/fixture.py::sequential_cdc_stats."""
+    from quichash_spark.operators.cdc_dedup import (
+        CDC_FOOTER, CDC_HEADER, cdc_dup_stats, compute_cdc_chunks,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(CDC_HEADER)).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(CDC_FOOTER)).otherwise(F.lit("")),
+        ).alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # eager checkpoint: the chunk-hash count branch and the join branch
+    # both reuse one chunking pass (audio_fp_pairs pattern)
+    chunks = compute_cdc_chunks(aug).localCheckpoint(eager=True)
+    return cdc_dup_stats(chunks)
+
+
 def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip audio quality signals (functions/audio_quality.py):
     clipping, silence, DC offset, zero crossings, plus speaking-rate
@@ -1318,6 +1346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fp_pairs": q_audio_fp_pairs,
     "audio_embed_neardup": q_audio_embed_neardup,
     "audio_sem_dedup": q_audio_sem_dedup,
+    "cdc_dup_stats": q_cdc_dup_stats,
     "audio_quality": q_audio_quality,
     "audio_seg_containment": q_audio_seg_containment,
     "audio_pair_verdict": q_audio_pair_verdict,
@@ -1336,6 +1365,7 @@ from quichash_spark.oracle.fixture import (  # noqa: E402
     aemb_fixture_dir,
     ann_fixture_dir,
     aqual_fixture_dir,
+    cdc_fixture_dir,
     clips_fixture_dir,
     docs_fixture_dir,
     fp_fixture_dir,
@@ -1355,6 +1385,7 @@ _STREAM_FIX = stream_fixture_dir()
 _VIDEO_FIX = video_fixture_dir()
 _IMAGE_FIX = image_fixture_dir()
 _AQUAL_FIX = aqual_fixture_dir()
+_CDC_FIX = cdc_fixture_dir()
 
 #: oracle entries that depend on the clips / docs fixture parquet —
 #: dropped (degrading to rows-only) if the fixture cannot be built
@@ -1376,6 +1407,7 @@ STREAM_FIXTURE_KEYS = ("stream_neardup_assign", "stream_embed_assign")
 VIDEO_FIXTURE_KEYS = ("video_features",)
 IMAGE_FIXTURE_KEYS = ("image_features",)
 AQUAL_FIXTURE_KEYS = ("audio_quality", "audio_seg_containment")
+CDC_FIXTURE_KEYS = ("cdc_dup_stats",)
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": """
@@ -1846,6 +1878,14 @@ ORACLE_SQL: dict[str, str] = {
         select clip_small, clip_big, n_shared, n_win_small, n_win_big,
                relation
         from read_parquet('{_AQUAL_FIX}/segment_pairs.parquet')
+    """,
+    # --- CDC byte-level dedup: scalar-recurrence replica chunker,
+    # grouped by raw chunk bytes (independent of the vectorized kernel
+    # and of the 64-bit chunk hash) ---
+    "cdc_dup_stats": f"""
+        select doc_id, n_chunks, total_bytes, dup_chunks, dup_bytes,
+               dup_ppm
+        from read_parquet('{_CDC_FIX}/cdc_stats.parquet')
     """,
     # --- channel fusion: landmark + embedding evidence per pair ---
     "audio_pair_verdict": f"""

@@ -1183,3 +1183,95 @@ def ensure_aqual_fixture(n: int = DRIVER_N_CLIPS) -> str:
         )
 
     return _atomic_build(target, build)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking replica (r5)
+# ---------------------------------------------------------------------------
+#
+# Independence story: the replica chunker evaluates the Gear hash with
+# the SCALAR recurrence ``h = (2h + GEAR[b]) mod 2^64`` (the Spark
+# kernel uses the 64-term windowed vector sum), walks the MIN/MAX
+# greedy cut rule in plain Python, and groups duplicated chunks by RAW
+# BYTES (never the 64-bit chunk hash).  Only the GEAR table and the
+# MIN/AVG/MAX constants are shared — they are the frozen config, like
+# the MinHash a/b parameters.
+
+from quichash_spark.operators.cdc_dedup import (  # noqa: E402
+    AVG_BITS as _CDC_AVG_BITS,
+    CDC_FOOTER,
+    CDC_HEADER,
+    GEAR as _CDC_GEAR,
+    MAX_CHUNK as _CDC_MAX,
+    MIN_CHUNK as _CDC_MIN,
+)
+
+
+def _scalar_chunks(data: bytes) -> list[bytes]:
+    mask = (1 << _CDC_AVG_BITS) - 1
+    gear = [int(x) for x in _CDC_GEAR]
+    out = []
+    h = 0
+    start = 0
+    for pos, b in enumerate(data):
+        h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+        end = pos + 1
+        if ((h & mask) == 0 and end - start >= _CDC_MIN) or (
+            end - start >= _CDC_MAX
+        ):
+            out.append(data[start:end])
+            start = end
+    if start < len(data):
+        out.append(data[start:])
+    return out
+
+
+def sequential_cdc_stats(sf_dir: str = DRIVER_SF_DIR) -> pd.DataFrame:
+    """Plain-Python replica of q_cdc_dup_stats over the real documents
+    table (header/footer augmentation replicated by doc_id rule)."""
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    per_doc: list[tuple] = []
+    counts: dict[bytes, int] = defaultdict(int)
+    chunked: list[tuple] = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        t = (CDC_HEADER if did % 7 == 0 else "") + (text or "") + (
+            CDC_FOOTER if did % 3 == 0 else ""
+        )
+        chunks = _scalar_chunks(t.encode("utf-8"))
+        chunked.append((did, chunks))
+        for c in chunks:
+            counts[c] += 1
+    for did, chunks in chunked:
+        dup = [c for c in chunks if counts[c] >= 2]
+        total = sum(len(c) for c in chunks)
+        dupb = sum(len(c) for c in dup)
+        per_doc.append((
+            did, len(chunks), total, len(dup), dupb,
+            (dupb * 1_000_000) // total if total else 0,
+        ))
+    df = pd.DataFrame(
+        per_doc,
+        columns=["doc_id", "n_chunks", "total_bytes", "dup_chunks",
+                 "dup_bytes", "dup_ppm"],
+    )
+    df["doc_id"] = df["doc_id"].astype(docs["doc_id"].dtype)
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def cdc_fixture_dir(sf_dir: str = DRIVER_SF_DIR) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(ROOT, f"cdc_o{ORACLE_FIXTURE_VERSION}_{tag}")
+
+
+def ensure_cdc_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
+    target = cdc_fixture_dir(sf_dir)
+
+    def build(tmp: str) -> None:
+        sequential_cdc_stats(sf_dir).to_parquet(
+            os.path.join(tmp, "cdc_stats.parquet"), index=False
+        )
+
+    return _atomic_build(target, build)
