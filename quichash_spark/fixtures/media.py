@@ -463,11 +463,13 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
     )
     from quichash_spark.functions.vp8l import encode_webp_lossless
 
+    from quichash_spark.functions.gif import encode_gif
+
     rng = np.random.default_rng([88, i])
     h = int(rng.integers(8, 25))
     w = int(rng.integers(8, 25))
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    kind = i % 8
+    kind = i % 9
     if kind == 0:
         return encode_png(img), "png"
     if kind == 1:
@@ -487,4 +489,8 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
         ), "jpeg"
     if kind == 6:  # 12-bit extended sequential: 8-bit samples upscaled
         return encode_jpeg12(img.astype(np.uint16) * 16), "jpeg"
+    if kind == 7:  # GIF: paletted content, alternating interlace
+        pal = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+        gimg = pal[rng.integers(0, 12, (h, w))]
+        return encode_gif(gimg, interlace=bool(i % 2)), "gif"
     return encode_png(img)[:20], "png"  # truncated -> decode_ok False

@@ -77,6 +77,15 @@ def decode_webp_auto(data: bytes) -> np.ndarray:
         raise
 
 
+def _decode_gif_frame(data: bytes) -> np.ndarray:
+    """First frame of a GIF (functions/gif.py — LZW, interlace,
+    transparency; frame count/duration are codec-level features the
+    media probe path reports)."""
+    from quichash_spark.functions.gif import decode_gif
+
+    return decode_gif(data)[0]
+
+
 IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "raw_rgb8": _decode_raw_rgb8,
     # REAL decoders (public specs, stdlib + numpy — functions/imaging.py
@@ -90,6 +99,7 @@ IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "bmp": decode_bmp,
     "jpeg": decode_jpeg,
     "webp": decode_webp_auto,
+    "gif": _decode_gif_frame,
 }
 
 IMAGE_FEATURES_SCHEMA = StructType(
