@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "audio_embed_neardup",
     "audio_quality",
     "audio_seg_containment",
+    "audio_cdc_dup",
     "events_windowed",
     "verify_classification",
     "moved_detection",

@@ -1193,6 +1193,25 @@ def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dup_stats(chunks)
 
 
+def q_audio_cdc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over DECODED PCM bytes
+    (operators/cdc_dedup.py::compute_pcm_cdc_chunks): per-clip
+    duplicated-audio-bytes stats, offset-robust (shared runs chunk
+    identically at any sample position — complements the prefix-aligned
+    window join of audio_seg_containment).  Planted exact twins and
+    prefix slices surface as dup bytes; SNR-noised copies do not.
+    Oracle: scalar-recurrence replica grouping chunks by raw bytes
+    (oracle/fixture.py::sequential_audio_cdc)."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.operators.cdc_dedup import (
+        cdc_dup_stats, compute_pcm_cdc_chunks,
+    )
+
+    clips = materialized_clips(spark, _clips_n(sf_dir))
+    chunks = compute_pcm_cdc_chunks(clips).localCheckpoint(eager=True)
+    return cdc_dup_stats(chunks, id_col="clip_id")
+
+
 def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip audio quality signals (functions/audio_quality.py):
     clipping, silence, DC offset, zero crossings, plus speaking-rate
@@ -1347,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_embed_neardup": q_audio_embed_neardup,
     "audio_sem_dedup": q_audio_sem_dedup,
     "cdc_dup_stats": q_cdc_dup_stats,
+    "audio_cdc_dup": q_audio_cdc_dup,
     "audio_quality": q_audio_quality,
     "audio_seg_containment": q_audio_seg_containment,
     "audio_pair_verdict": q_audio_pair_verdict,
@@ -1406,7 +1426,8 @@ AEMB_FIXTURE_KEYS = ("audio_embed_neardup", "audio_sem_dedup",
 STREAM_FIXTURE_KEYS = ("stream_neardup_assign", "stream_embed_assign")
 VIDEO_FIXTURE_KEYS = ("video_features",)
 IMAGE_FIXTURE_KEYS = ("image_features",)
-AQUAL_FIXTURE_KEYS = ("audio_quality", "audio_seg_containment")
+AQUAL_FIXTURE_KEYS = ("audio_quality", "audio_seg_containment",
+                      "audio_cdc_dup")
 CDC_FIXTURE_KEYS = ("cdc_dup_stats",)
 
 ORACLE_SQL: dict[str, str] = {
@@ -1886,6 +1907,11 @@ ORACLE_SQL: dict[str, str] = {
         select doc_id, n_chunks, total_bytes, dup_chunks, dup_bytes,
                dup_ppm
         from read_parquet('{_CDC_FIX}/cdc_stats.parquet')
+    """,
+    "audio_cdc_dup": f"""
+        select clip_id, n_chunks, total_bytes, dup_chunks, dup_bytes,
+               dup_ppm
+        from read_parquet('{_AQUAL_FIX}/audio_cdc.parquet')
     """,
     # --- channel fusion: landmark + embedding evidence per pair ---
     "audio_pair_verdict": f"""

@@ -180,3 +180,61 @@ def cdc_dup_stats(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.expr("dup_bytes * 1000000 div total_bytes"),
         ).otherwise(F.lit(0)).cast("long").alias("dup_ppm"),
     )
+
+
+def compute_pcm_cdc_chunks(clips: DataFrame) -> DataFrame:
+    """clips -> (clip_id, chunk_idx, chunk_hash, chunk_len) over the
+    DECODED PCM bytes — the audio twin of :func:`compute_cdc_chunks`.
+
+    Content-defined boundaries make shared audio runs chunk identically
+    at ANY sample offset, complementing the positional window join of
+    ``operators/segment_containment`` (prefix-aligned only).  Undecodable
+    clips contribute no chunks.  The ~64-byte mean chunk suits the
+    short fixture clips; a production audio deployment would raise
+    AVG_BITS to KB-scale chunks with the same code."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from quichash_spark.functions.audio import decode_pcm
+    from quichash_spark.functions.hashing import hash64
+
+    schema = StructType([
+        StructField("clip_id", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_hash", LongType()),
+        StructField("chunk_len", IntegerType()),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for cid, data, codec in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"]
+            ):
+                try:
+                    pcm = decode_pcm(
+                        bytes(data) if data is not None else None, codec
+                    )
+                except NotImplementedError:
+                    pcm = None
+                if pcm is None:
+                    continue
+                raw = np.ascontiguousarray(pcm, dtype="<i2").tobytes()
+                for idx, (s, e) in enumerate(chunk_spans(raw)):
+                    u = hash64(raw[s:e])
+                    rows.append({
+                        "clip_id": cid,
+                        "chunk_idx": idx,
+                        "chunk_hash": u - (1 << 64) if u >= (1 << 63) else u,
+                        "chunk_len": e - s,
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return clips.select("clip_id", "bytes", "codec").mapInPandas(
+        batches, schema
+    )

@@ -1166,9 +1166,16 @@ def sequential_segment_pairs(n: int) -> pd.DataFrame:
                       "n_win_big": "int64"})
 
 
+#: bump when the aqual fixture gains files / changes logic (g2: +
+#: audio_cdc.parquet)
+_AQUAL_GEN_VERSION = 2
+
+
 def aqual_fixture_dir(n: int = DRIVER_N_CLIPS) -> str:
     return os.path.join(
-        ROOT, f"aqual_f{FIXTURE_VERSION}_o{ORACLE_FIXTURE_VERSION}_n{n}"
+        ROOT,
+        f"aqual_f{FIXTURE_VERSION}_o{ORACLE_FIXTURE_VERSION}"
+        f"_g{_AQUAL_GEN_VERSION}_n{n}",
     )
 
 
@@ -1181,6 +1188,9 @@ def ensure_aqual_fixture(n: int = DRIVER_N_CLIPS) -> str:
         )
         sequential_segment_pairs(n).to_parquet(
             os.path.join(tmp, "segment_pairs.parquet"), index=False
+        )
+        sequential_audio_cdc(n).to_parquet(
+            os.path.join(tmp, "audio_cdc.parquet"), index=False
         )
 
     return _atomic_build(target, build)
@@ -1276,3 +1286,38 @@ def ensure_cdc_fixture(sf_dir: str = DRIVER_SF_DIR) -> str:
         )
 
     return _atomic_build(target, build)
+
+
+def sequential_audio_cdc(n: int) -> pd.DataFrame:
+    """Plain-Python replica of q_audio_cdc_dup: struct-decoded PCM
+    bytes through the scalar-recurrence chunker, duplicated chunks
+    grouped by RAW BYTES (never the 64-bit hash)."""
+    counts: dict[bytes, int] = defaultdict(int)
+    chunked: list[tuple[str, list[bytes]]] = []
+    for i in range(n):
+        r = clip_row(i)
+        s = _plain_decode(r["bytes"], r["codec"])
+        if s is None:
+            continue
+        raw = struct.pack(f"<{len(s)}h", *s)
+        chunks = _scalar_chunks(raw)
+        chunked.append((r["clip_id"], chunks))
+        for c in chunks:
+            counts[c] += 1
+    out = []
+    for cid, chunks in chunked:
+        dup = [c for c in chunks if counts[c] >= 2]
+        total = sum(len(c) for c in chunks)
+        dupb = sum(len(c) for c in dup)
+        out.append((
+            cid, len(chunks), total, len(dup), dupb,
+            (dupb * 1_000_000) // total if total else 0,
+        ))
+    df = pd.DataFrame(
+        out,
+        columns=["clip_id", "n_chunks", "total_bytes", "dup_chunks",
+                 "dup_bytes", "dup_ppm"],
+    )
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return df

@@ -96,3 +96,41 @@ def test_empty_and_tiny_inputs():
     assert chunk_spans(b"ab") == [(0, 2)]
     h = gear_hash_positions(b"xyz")
     assert h.shape == (3,) and h.dtype == np.uint64
+
+
+def test_audio_cdc_planted_signal():
+    """Exact twins (off 12/13) and identical-PCM text pairs (16/17)
+    show full duplication; prefix slices (18/19) substantial; noisy
+    copies (14/15) contribute nothing to each other."""
+    from quichash_spark.oracle.fixture import sequential_audio_cdc
+
+    df = sequential_audio_cdc(40).set_index("clip_id")
+    for b in (0, 20):
+        twin_a = df.loc[f"clip_{b + 12:08d}"]
+        twin_b = df.loc[f"clip_{b + 13:08d}"]
+        assert twin_a.dup_ppm == 1_000_000 and twin_b.dup_ppm == 1_000_000
+        base = df.loc[f"clip_{b + 18:08d}"]
+        sliced = df.loc[f"clip_{b + 19:08d}"]
+        # the slice shares all but its tail chunk with the base
+        assert sliced.dup_bytes >= sliced.total_bytes // 2
+        assert base.dup_bytes > 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_audio_cdc_matches_replica(spark, tiny_clips):
+    from quichash_spark.operators.cdc_dedup import (
+        cdc_dup_stats,
+        compute_pcm_cdc_chunks,
+    )
+    from quichash_spark.oracle.fixture import sequential_audio_cdc
+
+    got = (
+        cdc_dup_stats(compute_pcm_cdc_chunks(tiny_clips), id_col="clip_id")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        sequential_audio_cdc(200).sort_values("clip_id").reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
