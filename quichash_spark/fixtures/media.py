@@ -464,12 +464,13 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
     from quichash_spark.functions.vp8l import encode_webp_lossless
 
     from quichash_spark.functions.gif import encode_gif
+    from quichash_spark.functions.tiff import encode_tiff
 
     rng = np.random.default_rng([88, i])
     h = int(rng.integers(8, 25))
     w = int(rng.integers(8, 25))
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    kind = i % 9
+    kind = i % 10
     if kind == 0:
         return encode_png(img), "png"
     if kind == 1:
@@ -493,4 +494,8 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
         pal = rng.integers(0, 256, (12, 3), dtype=np.uint8)
         gimg = pal[rng.integers(0, 12, (h, w))]
         return encode_gif(gimg, interlace=bool(i % 2)), "gif"
+    if kind == 8:  # TIFF: cycle compression x byte order
+        comp = (1, 5, 32773)[(i // 10) % 3]
+        return encode_tiff(img, compression=comp,
+                           big_endian=bool(i % 2)), "tiff"
     return encode_png(img)[:20], "png"  # truncated -> decode_ok False

@@ -77,6 +77,14 @@ def decode_webp_auto(data: bytes) -> np.ndarray:
         raise
 
 
+def _decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF (functions/tiff.py — strips, none/PackBits/LZW,
+    gray/RGB/palette, both byte orders)."""
+    from quichash_spark.functions.tiff import decode_tiff
+
+    return decode_tiff(data)
+
+
 def _decode_gif_frame(data: bytes) -> np.ndarray:
     """First frame of a GIF (functions/gif.py — LZW, interlace,
     transparency; frame count/duration are codec-level features the
@@ -100,6 +108,7 @@ IMAGE_CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "jpeg": decode_jpeg,
     "webp": decode_webp_auto,
     "gif": _decode_gif_frame,
+    "tiff": _decode_tiff,
 }
 
 IMAGE_FEATURES_SCHEMA = StructType(
