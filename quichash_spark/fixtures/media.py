@@ -470,7 +470,7 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
     h = int(rng.integers(8, 25))
     w = int(rng.integers(8, 25))
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    kind = i % 10
+    kind = i % 12
     if kind == 0:
         return encode_png(img), "png"
     if kind == 1:
@@ -498,4 +498,11 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
         comp = (1, 5, 32773)[(i // 10) % 3]
         return encode_tiff(img, compression=comp,
                            big_endian=bool(i % 2)), "tiff"
+    if kind == 9:  # PNG palette + Adam7 interlace (r5 decoder paths)
+        pal = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+        pimg = pal[rng.integers(0, 11, (h, w))]
+        return encode_png(pimg, palette=True, interlace=True), "png"
+    if kind == 10:  # 16-bit PNG (decodes to the high byte)
+        img16 = rng.integers(0, 1 << 16, (h, w, 3), dtype=np.uint16)
+        return encode_png(img16, depth=16), "png"
     return encode_png(img)[:20], "png"  # truncated -> decode_ok False

@@ -28,8 +28,8 @@ _LOG = __import__("logging").getLogger(__name__)
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-#: PNG color type -> samples per pixel
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: PNG color type -> samples per pixel (3 = palette indices)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Same detect-and-swap shape as hashreg wheels / audio's audioop gate:
 # prefer Pillow's C decoder when installed — the pure defilter below
@@ -57,64 +57,43 @@ def decode_png(data: bytes) -> np.ndarray:
     return decode_png_pure(data)
 
 
-def decode_png_pure(data: bytes) -> np.ndarray:
-    """PNG (ISO/IEC 15948): 8-bit depth, color types 0/2/4/6, no
-    interlace.  Chunk CRCs are verified (zlib.crc32)."""
-    data = bytes(data)
-    if data[:8] != PNG_SIG:
-        raise ValueError("not a PNG stream")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(data):
-        ln, ctype = struct.unpack(">I4s", data[pos : pos + 8])
-        body = data[pos + 8 : pos + 8 + ln]
-        crc = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])[0]
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
-    ch = _PNG_CHANNELS.get(color_type)
-    if ch is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG decompressed size mismatch")
+#: Adam7 pass layout: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _defilter(raw: bytes, pos: int, h: int, stride: int, fu: int):
+    """Defilter ``h`` rows of ``stride`` bytes (left-neighbor distance
+    ``fu`` bytes) starting at ``pos``; returns (rows, new_pos)."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG decompressed size mismatch")
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
         if ftype == 0:  # None
             pass
         elif ftype == 1:  # Sub: per-channel prefix sum mod 256
-            acc = row.reshape(-1, ch).astype(np.uint64).cumsum(axis=0)
+            acc = row.reshape(-1, fu).astype(np.uint64).cumsum(axis=0)
             row = (acc & 0xFF).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             row += prev
         elif ftype == 3:  # Average
-            cur = np.zeros(ch, dtype=np.uint16)
+            cur = np.zeros(fu, dtype=np.uint16)
             for x in range(stride):
-                c = x % ch
-                left = cur[c] if x >= ch else 0
+                c = x % fu
+                left = cur[c] if x >= fu else 0
                 row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
                 cur[c] = row[x]
         elif ftype == 4:  # Paeth
             for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
+                a = int(row[x - fu]) if x >= fu else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - fu]) if x >= fu else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -123,44 +102,213 @@ def decode_png_pure(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = row
         prev = row
-    px = out.reshape(h, w, ch)
+    return out, pos
+
+
+def _unpack_samples(rows: np.ndarray, wp: int, ch: int, depth: int) -> np.ndarray:
+    """Filtered rows -> (hp, wp, ch) sample array (uint8, or uint16 for
+    depth 16 — scaling to 8-bit happens at the color-mapping stage)."""
+    hp = rows.shape[0]
+    if depth == 8:
+        return rows[:, : wp * ch].reshape(hp, wp, ch)
+    if depth == 16:
+        u16 = np.frombuffer(rows.tobytes(), dtype=">u2").reshape(hp, -1)
+        return u16[:, : wp * ch].reshape(hp, wp, ch).astype(np.uint16)
+    bits = np.unpackbits(rows, axis=1)
+    groups = bits[:, : (wp * ch) * depth].reshape(hp, wp * ch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(hp, wp, ch)
+
+
+def decode_png_pure(data: bytes) -> np.ndarray:
+    """PNG (ISO/IEC 15948): bit depths 1/2/4/8/16, color types 0/2/3/4/6
+    (palette via PLTE, tRNS transparency composited over black / color
+    keys to black), Adam7 interlace.  Chunk CRCs are verified
+    (zlib.crc32).  Alpha channels of types 4/6 are dropped (the module's
+    RGB feature contract, unchanged from the 8-bit-only decoder)."""
+    data = bytes(data)
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, bytearray()
+    plte = None
+    trns = None
+    while pos + 8 <= len(data):
+        ln, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    ok_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16)
+    )
+    if depth not in ok_depths:
+        raise ValueError(f"invalid PNG depth {depth} for type {color_type}")
+    bpp_bits = depth * ch
+    fu = max(1, bpp_bits // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        stride = (w * bpp_bits + 7) // 8
+        rows, pos = _defilter(raw, 0, h, stride, fu)
+        samples = _unpack_samples(rows, w, ch, depth)
+    else:  # Adam7
+        dtype = np.uint16 if depth == 16 else np.uint8
+        samples = np.zeros((h, w, ch), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride = (wp * bpp_bits + 7) // 8
+            rows, pos = _defilter(raw, pos, hp, stride, fu)
+            samples[y0::dy, x0::dx] = _unpack_samples(rows, wp, ch, depth)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced data size mismatch")
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[..., 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns:  # per-entry alpha, composited over black
+            alpha = np.full(plte.shape[0], 255, np.uint16)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            a = alpha[idx][..., None]
+            rgb = ((rgb.astype(np.uint16) * a + 127) // 255).astype(np.uint8)
+        return rgb
+
+    if depth == 16:
+        px = (samples >> 8).astype(np.uint8)
+    elif depth < 8:
+        px = (samples * {1: 255, 2: 85, 4: 17}[depth]).astype(np.uint8)
+    else:
+        px = samples
     if color_type == 0:
+        if trns and len(trns) >= 2:  # gray color key -> black
+            key = struct.unpack(">H", trns[:2])[0]
+            px = px.copy()
+            px[samples[..., 0] == key] = 0
         return np.repeat(px, 3, axis=2)
     if color_type == 2:
+        if trns and len(trns) >= 6:  # RGB color key -> black
+            key = np.array(struct.unpack(">HHH", trns[:6]), samples.dtype)
+            px = px.copy()
+            px[(samples == key).all(axis=2)] = 0
         return px
     if color_type == 4:  # gray + alpha -> drop alpha, expand
         return np.repeat(px[..., :1], 3, axis=2)
     return px[..., :3]  # RGBA -> drop alpha
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Minimal real PNG writer (8-bit RGB or grayscale, filter 0 rows) —
-    produces spec-conformant files for interop and round-trip tests."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        h, w, color_type, ch = *img.shape, 0, 1
-        body = img
-    else:
-        h, w, ch = img.shape
-        color_type = 2
-        if ch != 3:
-            raise ValueError("encode_png: RGB or grayscale only")
-        body = img.reshape(h, w * ch)
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + ctype + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
 
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload)) + ctype + payload
-            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+
+def _pack_row(vals: np.ndarray, depth: int) -> bytes:
+    """1-D sample values -> packed big-endian row bytes at ``depth``."""
+    if depth == 8:
+        return vals.astype(np.uint8).tobytes()
+    if depth == 16:
+        return vals.astype(">u2").tobytes()
+    bits = (
+        (vals[:, None].astype(np.uint8)
+         >> np.arange(depth - 1, -1, -1, dtype=np.uint8)) & 1
+    ).reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def encode_png(img: np.ndarray, interlace: bool = False,
+               palette: bool = False, depth: int = 8,
+               trns: bytes | None = None) -> bytes:
+    """Real PNG writer (filter-0 rows), spec-conformant across the
+    decoder's feature matrix — exists for interop and round-trip tests.
+
+    Default call (8-bit gray/RGB, no interlace) is byte-identical to the
+    historical minimal writer.  Options: ``depth`` 1/2/4/8/16 for
+    grayscale (sample values must fit) and 8/16 for RGB;
+    ``palette=True`` writes color type 3 with a PLTE (RGB input,
+    <= 256 distinct colors, minimal index depth); ``interlace`` writes
+    Adam7; ``trns`` emits a raw tRNS chunk (palette alpha / color key).
+    """
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if palette:
+        if gray:
+            raise ValueError("encode_png: palette needs RGB input")
+        flat = np.ascontiguousarray(img, np.uint8).reshape(-1, 3)
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        if colors.shape[0] > 256:
+            raise ValueError("encode_png: palette needs <= 256 colors")
+        depth = next(d for d in (1, 2, 4, 8)
+                     if colors.shape[0] <= (1 << d))
+        samples = idx.reshape(h, w, 1)
+        color_type, ch = 3, 1
+    elif gray:
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"encode_png: bad gray depth {depth}")
+        samples = img[..., None]
+        color_type, ch = 0, 1
+    else:
+        if img.shape[2] != 3:
+            raise ValueError("encode_png: RGB or grayscale only")
+        if depth not in (8, 16):
+            raise ValueError(f"encode_png: bad RGB depth {depth}")
+        samples = img
+        color_type, ch = 2, 3
+
+    def rows_bytes(sub: np.ndarray) -> bytes:
+        return b"".join(
+            b"\x00" + _pack_row(sub[y].reshape(-1), depth)
+            for y in range(sub.shape[0])
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
-    return (
-        PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+    if interlace:
+        raw = b"".join(
+            rows_bytes(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if samples[y0::dy, x0::dx].size
+        )
+    else:
+        raw = rows_bytes(samples)
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
     )
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette:
+        out += _png_chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    out += _png_chunk(b"IDAT", zlib.compress(raw, 6))
+    out += _png_chunk(b"IEND", b"")
+    return out
 
 
 def decode_bmp(data: bytes) -> np.ndarray:

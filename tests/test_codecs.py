@@ -774,3 +774,86 @@ def test_color_conformance_bound_against_imageio(spark):
     ref = _imageio_decode(spark, prog).astype(np.float64)
     luma = np.array([0.299, 0.587, 0.114])
     assert np.abs((mine - ref) @ luma).max() <= 3.0
+
+
+# ---------------------------------------------------------------------------
+# PNG feature-matrix upgrade (r5): palette, Adam7, sub-8/16-bit depths
+# ---------------------------------------------------------------------------
+
+
+def test_png_adam7_interlace_roundtrip_all_pass_shapes():
+    from quichash_spark.functions.imaging import decode_png_pure, encode_png
+
+    rng = np.random.default_rng(31)
+    # shapes chosen to hit empty passes, single-pixel passes and
+    # every pass-boundary remainder
+    for shape in [(1, 1), (2, 2), (7, 5), (8, 8), (9, 17), (16, 3), (31, 29)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        got = decode_png_pure(encode_png(img, interlace=True))
+        np.testing.assert_array_equal(got, img)
+
+
+def test_png_palette_roundtrip_minimal_depths():
+    from quichash_spark.functions.imaging import decode_png_pure, encode_png
+
+    rng = np.random.default_rng(32)
+    # palette sizes straddling the 1/2/4/8-bit index depth choices
+    for nc in (2, 3, 5, 16, 17, 130):
+        pal = np.unique(rng.integers(0, 256, (nc, 3), dtype=np.uint8), axis=0)
+        img = pal[rng.integers(0, pal.shape[0], (13, 19))]
+        for inter in (False, True):
+            got = decode_png_pure(encode_png(img, palette=True, interlace=inter))
+            np.testing.assert_array_equal(got, img)
+
+
+def test_png_sub8_gray_scales_to_full_range():
+    from quichash_spark.functions.imaging import decode_png_pure, encode_png
+
+    rng = np.random.default_rng(33)
+    for d, scale in ((1, 255), (2, 85), (4, 17)):
+        g = rng.integers(0, 1 << d, (11, 13), dtype=np.uint8)
+        got = decode_png_pure(encode_png(g, depth=d))[..., 0]
+        np.testing.assert_array_equal(got, g * scale)
+
+
+def test_png_16bit_decodes_high_byte():
+    from quichash_spark.functions.imaging import decode_png_pure, encode_png
+
+    rng = np.random.default_rng(34)
+    g16 = rng.integers(0, 1 << 16, (9, 7), dtype=np.uint16)
+    got = decode_png_pure(encode_png(g16, depth=16))[..., 0]
+    np.testing.assert_array_equal(got, (g16 >> 8).astype(np.uint8))
+    c16 = rng.integers(0, 1 << 16, (6, 5, 3), dtype=np.uint16)
+    got = decode_png_pure(encode_png(c16, depth=16))
+    np.testing.assert_array_equal(got, (c16 >> 8).astype(np.uint8))
+
+
+def test_png_trns_palette_composites_over_black():
+    from quichash_spark.functions.imaging import decode_png_pure, encode_png
+
+    pal = np.array([[200, 100, 50], [10, 20, 30]], np.uint8)
+    img = pal[np.array([[0, 1], [1, 0]])]
+    got = decode_png_pure(encode_png(img, palette=True, trns=bytes([0])))
+    # np.unique sorts rows: entry 0 = (10,20,30) -> fully transparent
+    exp = img.copy()
+    exp[(img == pal[1]).all(axis=2)] = 0
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_png_invalid_depth_type_combo_rejected():
+    import struct as _s
+    import zlib as _z
+
+    from quichash_spark.functions.imaging import (
+        PNG_SIG, decode_png_pure, encode_png,
+    )
+
+    data = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+    # patch IHDR depth to 4 for color type 2 (invalid per spec)
+    ihdr_off = len(PNG_SIG) + 8
+    data[ihdr_off + 8] = 4
+    body = bytes(data[ihdr_off : ihdr_off + 13])
+    crc = _z.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    data[ihdr_off + 13 : ihdr_off + 17] = _s.pack(">I", crc)
+    with pytest.raises(ValueError, match="invalid PNG depth"):
+        decode_png_pure(bytes(data))
