@@ -470,7 +470,7 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
     h = int(rng.integers(8, 25))
     w = int(rng.integers(8, 25))
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    kind = i % 12
+    kind = i % 13
     if kind == 0:
         return encode_png(img), "png"
     if kind == 1:
@@ -505,4 +505,10 @@ def gen_image_payload(i: int) -> tuple[bytes, str]:
     if kind == 10:  # 16-bit PNG (decodes to the high byte)
         img16 = rng.integers(0, 1 << 16, (h, w, 3), dtype=np.uint16)
         return encode_png(img16, depth=16), "png"
+    if kind == 11:  # 8-bit palette BMP, RLE8-compressed
+        from quichash_spark.functions.imaging import encode_bmp
+
+        pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        bimg = pal[rng.integers(0, 7, (h, w))]
+        return encode_bmp(bimg, palette=True, rle8=True), "bmp"
     return encode_png(img)[:20], "png"  # truncated -> decode_ok False

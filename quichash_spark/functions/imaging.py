@@ -312,26 +312,159 @@ def encode_png(img: np.ndarray, interlace: bool = False,
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Windows BMP (BITMAPINFOHEADER, 24-bit uncompressed): BGR rows
-    padded to 4 bytes, bottom-up unless height is negative."""
+    """Windows BMP (BITMAPINFOHEADER family): 24/32-bit BI_RGB, and
+    palette images at 1/4/8 bits (uncompressed) or 8 bits RLE8
+    (BI_RLE8 absolute + encoded + EOL/EOB/delta opcodes).  Rows are
+    4-byte padded, bottom-up unless height is negative."""
     data = bytes(data)
     if data[:2] != b"BM":
         raise ValueError("not a BMP stream")
     px_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
     w, h = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
-    if bpp != 24 or compression != 0 or planes != 1:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    clr_used = struct.unpack_from("<I", data, 46)[0] if hdr_size >= 36 else 0
+    if planes != 1:
+        raise ValueError("unsupported BMP planes")
     top_down = h < 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3
-    rows = np.frombuffer(
-        data, dtype=np.uint8, count=stride * h, offset=px_off
-    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    if not top_down:
-        rows = rows[::-1]
-    return rows[..., ::-1].copy()  # BGR -> RGB
+
+    if bpp in (24, 32) and compression == 0:
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=px_off
+        ).reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[..., 2::-1].copy()  # BGR(A) -> RGB, alpha dropped
+
+    if bpp in (1, 4, 8):
+        n_pal = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, np.uint8, 4 * n_pal, pal_off
+        ).reshape(n_pal, 4)[:, 2::-1]  # BGRX -> RGB
+        if compression == 0:
+            stride = ((w * bpp + 31) // 32) * 4
+            rows = np.frombuffer(
+                data, np.uint8, stride * h, px_off
+            ).reshape(h, stride)
+            if bpp == 8:
+                idx = rows[:, :w]
+            else:
+                bits = np.unpackbits(rows, axis=1)
+                groups = bits[:, : w * bpp].reshape(h, w, bpp)
+                weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+                idx = (groups * weights).sum(axis=2).astype(np.uint8)
+        elif compression == 1 and bpp == 8:  # BI_RLE8
+            idx = _rle8_decode(data, px_off, w, h)
+        else:
+            raise ValueError(
+                f"unsupported BMP (bpp={bpp}, compression={compression})"
+            )
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx.astype(np.int64)]
+        if not top_down:
+            img = img[::-1]
+        return np.ascontiguousarray(img)
+
+    raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
 
 
-__all__ = ["decode_png", "decode_png_pure", "encode_png", "decode_bmp", "PNG_SIG"]
+def _rle8_decode(data: bytes, pos: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 (bottom-up order in the stream; caller flips)."""
+    idx = np.zeros((h, w), np.uint8)
+    y = 0
+    x = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            end = min(x + cnt, w)
+            if y < h:
+                idx[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            y += 1
+            x = 0
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                break
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal bytes, word-aligned
+            lit = data[pos : pos + val]
+            if len(lit) != val:
+                raise ValueError("BMP RLE8 absolute run truncated")
+            end = min(x + val, w)
+            if y < h:
+                idx[y, x:end] = np.frombuffer(lit[: end - x], np.uint8)
+            x += val
+            pos += val + (val & 1)
+    raise ValueError("BMP RLE8 stream missing end-of-bitmap")
+
+
+def encode_bmp(img: np.ndarray, palette: bool = False,
+               rle8: bool = False) -> bytes:
+    """Spec-conformant BMP writer: 24-bit BI_RGB, or 8-bit palette
+    (``palette=True``; <= 256 distinct colors) optionally RLE8
+    compressed — exists to validate the decoder."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if not palette:
+        if rle8:
+            raise ValueError("RLE8 requires palette=True")
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        px = rows.tobytes()
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                          0, 0, 0, 0)
+        off = 14 + 40
+        head = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+        return head + hdr + px
+
+    flat = img.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError("encode_bmp palette needs <= 256 colors")
+    idx = inv.astype(np.uint8).reshape(h, w)[::-1]  # bottom-up
+    pal = np.zeros((256, 4), np.uint8)
+    pal[: colors.shape[0], :3] = colors[:, ::-1]  # RGB -> BGR
+    if rle8:
+        body = bytearray()
+        for y in range(h):
+            row = idx[y]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                body += bytes([run, int(row[x])])
+                x += run
+            body += bytes([0, 0])  # end of line
+        body += bytes([0, 1])  # end of bitmap
+        px = bytes(body)
+        comp = 1
+    else:
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w] = idx
+        px = rows.tobytes()
+        comp = 0
+    hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(px),
+                      0, 0, 256, 0)
+    off = 14 + 40 + 1024
+    head = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+    return head + hdr + pal.tobytes() + px
+
+
+__all__ = ["decode_png", "decode_png_pure", "encode_png", "decode_bmp",
+           "encode_bmp", "PNG_SIG"]

@@ -1018,8 +1018,8 @@ def sequential_image_features(n: int = DRIVER_N_IMAGES) -> pd.DataFrame:
 #: bump when gen_image_payload's codec matrix changes (g2: + lossless
 #: SOF3 JPEG at kind 5; g3: + 12-bit SOF1 at kind 6; g4: + GIF at
 #: kind 7; g5: + TIFF at kind 8; g6: + interlaced-palette and 16-bit
-#: PNG at kinds 9/10)
-_IMAGE_GEN_VERSION = 6
+#: PNG at kinds 9/10; g7: + RLE8 palette BMP at kind 11)
+_IMAGE_GEN_VERSION = 7
 
 
 def image_fixture_dir(n: int = DRIVER_N_IMAGES) -> str:

@@ -857,3 +857,85 @@ def test_png_invalid_depth_type_combo_rejected():
     data[ihdr_off + 13 : ihdr_off + 17] = _s.pack(">I", crc)
     with pytest.raises(ValueError, match="invalid PNG depth"):
         decode_png_pure(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# BMP upgrade (r5): palette 1/4/8-bit, RLE8, 32-bit
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_palette_roundtrip_and_rle8():
+    from quichash_spark.functions.imaging import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(41)
+    pal = np.unique(rng.integers(0, 256, (40, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.integers(0, pal.shape[0], (13, 19))]
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img, palette=True)), img)
+    np.testing.assert_array_equal(
+        decode_bmp(encode_bmp(img, palette=True, rle8=True)), img
+    )
+    # runs compress well and still round-trip
+    runs = pal[np.repeat(np.arange(5), 60).reshape(1, -1) % pal.shape[0]]
+    runs = np.tile(runs, (7, 1, 1))
+    np.testing.assert_array_equal(
+        decode_bmp(encode_bmp(runs, palette=True, rle8=True)), runs
+    )
+
+
+def test_bmp_rle8_opcodes_by_hand():
+    import struct as _s
+
+    from quichash_spark.functions.imaging import decode_bmp
+
+    # 4x2 bottom-up: row0(bottom) = run 3 of idx1 + abs [2] ; row1 = delta
+    # skip (2,0) then run 2 of idx2, rest stays index 0
+    pal = bytes()
+    pal_entries = [(10, 10, 10, 0), (20, 30, 40, 0), (50, 60, 70, 0)]
+    for b, g, r, x in pal_entries:
+        pal += bytes([b, g, r, x])
+    pal += bytes(4) * (256 - 3)
+    body = bytes([3, 1, 2, 2, 2, 2, 0, 0]) + bytes([0, 2, 2, 0, 2, 2, 0, 1])
+    # ^ run3(idx1), abs-mode needs n>=3 so use encoded run 2 of idx2; EOL;
+    #   delta dx=2 dy=0; run 2 of idx2; EOB
+    hdr = _s.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(body), 0, 0, 256, 0)
+    off = 14 + 40 + 1024
+    data = b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off) + hdr + pal + body
+    got = decode_bmp(data)
+    # bottom row: idx 1,1,1,2 ; top row: idx 0,0,2,2
+    exp_idx = np.array([[0, 0, 2, 2], [1, 1, 1, 2]])
+    lut = np.array([[10, 10, 10], [40, 30, 20], [70, 60, 50]], np.uint8)
+    np.testing.assert_array_equal(got, lut[exp_idx])
+
+
+def test_bmp_sub8_uncompressed_and_32bit():
+    import struct as _s
+
+    from quichash_spark.functions.imaging import decode_bmp, encode_bmp
+
+    # 4-bit palette, hand-built: 5 px wide -> 3 data bytes, padded to 4
+    pal = b"".join(bytes([i * 16, i * 8, i * 4, 0]) for i in range(16))
+    idx_rows = [[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]]
+    body = b""
+    for row in reversed(idx_rows):  # bottom-up
+        packed = bytes([
+            (row[0] << 4) | row[1], (row[2] << 4) | row[3], row[4] << 4,
+        ])
+        body += packed + b"\x00"  # pad to 4 bytes
+    hdr = _s.pack("<IiiHHIIiiII", 40, 5, 2, 1, 4, 0, len(body), 0, 0, 16, 0)
+    off = 14 + 40 + 64
+    data = b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off) + hdr + pal + body
+    got = decode_bmp(data)
+    lut = np.array([[i * 4, i * 8, i * 16] for i in range(16)], np.uint8)
+    np.testing.assert_array_equal(got, lut[np.array(idx_rows)])
+
+    # 32-bit BI_RGB: BGRA rows, alpha dropped — build from the 24-bit writer
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    bgra = np.zeros((3, 3, 4), np.uint8)
+    bgra[..., :3] = img[::-1, :, ::-1]
+    bgra[..., 3] = 255
+    px = bgra.tobytes()
+    hdr = _s.pack("<IiiHHIIiiII", 40, 3, 3, 1, 32, 0, len(px), 0, 0, 0, 0)
+    off = 14 + 40
+    data = b"BM" + _s.pack("<IHHI", off + len(px), 0, 0, off) + hdr + px
+    np.testing.assert_array_equal(decode_bmp(data), img)
