@@ -845,6 +845,32 @@ def q_clips_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.candidates
 
 
+def q_clips_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (pipeline.incremental_update): the first 80%
+    of the corpus is clustered as the PRIOR run (its checkpoint reused
+    verbatim — old bytes never re-decoded), the remaining 20% arrives
+    as the increment and is assigned/merged through new-involved
+    candidates + prior-assignment edges.  The output must equal the
+    full-batch transitive closure, so the oracle is the SAME
+    brute-force numpy clusters fixture the batch query uses — the
+    strongest possible check that incremental == batch."""
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import incremental_update, run_pipeline
+
+    n = _clips_n(sf_dir)
+    n_old = n * 4 // 5
+    clips = materialized_clips(spark, n)
+    boundary = f"clip_{n_old:08d}"
+    old = clips.filter(F.col("clip_id") < boundary)
+    new = clips.filter(F.col("clip_id") >= boundary)
+    run_pipeline(spark, old, f"/tmp/quichash_ckpt/v2_incr_prior_n{n}")
+    res = incremental_update(
+        spark, f"/tmp/quichash_ckpt/v2_incr_prior_n{n}", new, clips,
+        f"/tmp/quichash_ckpt/v2_incr_delta_n{n}",
+    )
+    return res.clusters
+
+
 def q_clips_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone suffix-containment pass (north_rule stage 5) over the
     clips corpus: token-level transcript containment within LSH buckets."""
@@ -1355,6 +1381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clips_signatures": q_clips_signatures,
     "clips_exact_dedup": q_clips_exact_dedup,
     "clips_clusters": q_clips_clusters,
+    "clips_incremental": q_clips_incremental,
     "clips_candidates": q_clips_candidates,
     "clips_containment": q_clips_containment,
     "stream_neardup_assign": q_stream_neardup_assign,
@@ -1413,6 +1440,7 @@ CLIPS_FIXTURE_KEYS = (
     "clips_signatures",
     "clips_exact_dedup",
     "clips_clusters",
+    "clips_incremental",
     "clips_candidates",
     "clips_containment",
     "pipeline_metrics",
@@ -1838,6 +1866,12 @@ ORACLE_SQL: dict[str, str] = {
         group by content_hash having count(*) > 1
     """,
     "clips_clusters": f"""
+        select clip_id, cluster_id
+        from read_parquet('{_CLIPS_FIX}/clusters.parquet')
+    """,
+    # --- incremental == batch: the SAME full-corpus brute-force oracle
+    # (the incremental path must reproduce the batch transitive closure)
+    "clips_incremental": f"""
         select clip_id, cluster_id
         from read_parquet('{_CLIPS_FIX}/clusters.parquet')
     """,

@@ -194,3 +194,51 @@ def test_emulate_executor_verify_mode_partitions_exactly(spark, tmp_path):
     outs = [json.loads(p.communicate(timeout=300)[0].strip().splitlines()[-1])
             for p in procs]
     assert sum(o["rows"] for o in outs) == full > 0
+
+
+def test_incremental_update_equals_batch(spark, tmp_path):
+    """incremental_update must reproduce the batch transitive closure
+    exactly — including pairs that STRADDLE the old/new boundary (the
+    175 cut splits a planted audio near-dup pair: base 174 is prior,
+    noisy copy 175 arrives in the increment and must join the old
+    cluster)."""
+    import shutil
+
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import incremental_update, run_pipeline
+
+    clips = materialized_clips(spark, 200)
+    for cut in (160, 175):
+        prior_dir = str(tmp_path / f"prior_{cut}")
+        delta_dir = str(tmp_path / f"delta_{cut}")
+        batch_dir = str(tmp_path / f"batch_{cut}")
+        for d in (prior_dir, delta_dir, batch_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        boundary = f"clip_{cut:08d}"
+        run_pipeline(spark, clips.filter(clips.clip_id < boundary), prior_dir)
+        inc = incremental_update(
+            spark, prior_dir, clips.filter(clips.clip_id >= boundary),
+            clips, delta_dir,
+        )
+        batch = run_pipeline(spark, clips, batch_dir)
+        got = {r["clip_id"]: r["cluster_id"] for r in inc.clusters.collect()}
+        want = {r["clip_id"]: r["cluster_id"] for r in batch.clusters.collect()}
+        assert got == want, cut
+        # the straddling pair really crosses the boundary and clusters
+        if cut == 175:
+            assert got["clip_00000175"] == got["clip_00000174"]
+            assert got["clip_00000175"] != "clip_00000175"
+
+
+def test_incremental_requires_complete_prior(spark, tmp_path):
+    import pytest as _pytest
+
+    from quichash_spark.fixtures import materialized_clips
+    from quichash_spark.pipeline import incremental_update
+
+    clips = materialized_clips(spark, 200)
+    with _pytest.raises(ValueError, match="prior checkpoint"):
+        incremental_update(
+            spark, str(tmp_path / "nonexistent"), clips, clips,
+            str(tmp_path / "delta"),
+        )
