@@ -191,6 +191,7 @@ def unified_bucket_table(
 def unified_candidates(
     signatures: DataFrame, cfg: DedupConfig, use_pcm: bool = True,
     strategy: str = "join", scope: CacheScope | None = None,
+    restrict_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """All candidate channels in one shuffle plan.
 
@@ -200,6 +201,15 @@ def unified_candidates(
     per-pipeline :class:`CacheScope` when several pipelines share one
     session; defaults to the module scope drained by
     :func:`release_cached`.
+
+    ``restrict_ids`` (one ``clip_id`` column): emit only pairs with at
+    least one side in the set — the INCREMENTAL shape.  Bucket sizes,
+    caps and per-pair channel aggregation are still computed over the
+    FULL corpus (batch-identical semantics); the restriction changes
+    only pair EXPANSION, which becomes two joins each with the (small)
+    restricted band rows on one side, so unrestricted-x-unrestricted
+    combinations are never materialized (test-asserted equal to
+    post-filtering the full pair set).
 
     Three physical strategies produce identical pairs (test-asserted):
 
@@ -272,23 +282,60 @@ def unified_candidates(
             .agg(F.sort_array(F.collect_list(F.struct("clip_id", "simhash"))).alias("ms"))
         )
         raw = _expand_bucket_pairs(members)
+        if restrict_ids is not None:
+            raw = _raw_touching(raw, restrict_ids)
     else:
         kept = _persist(buckets.join(kept_keys, ["band_idx", "band_key"]))
-        a, b = kept.alias("a"), kept.alias("b")
-        raw = a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.clip_id") < F.col("b.clip_id")),
-        ).select(
-            F.col("a.band_idx").alias("band_idx"),
-            F.col("a.clip_id").alias("clip_a"),
-            F.col("b.clip_id").alias("clip_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+
+        def side_join(left, right, extra):
+            return left.alias("a").join(
+                right.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.clip_id") < F.col("b.clip_id"))
+                & extra,
+            ).select(
+                F.col("a.band_idx").alias("band_idx"),
+                F.col("a.clip_id").alias("clip_a"),
+                F.col("b.clip_id").alias("clip_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+
+        if restrict_ids is None:
+            raw = side_join(kept, kept, F.lit(True))
+        else:
+            # pair expansion with the restricted rows always on one side:
+            # (new x all) where the NEW side is lexicographically smaller,
+            # plus (all-minus-new x new) for the other orientation —
+            # covers each touching pair exactly once, and old-x-old
+            # combinations never expand
+            flags = restrict_ids.select(
+                F.col("clip_id").alias("rid")
+            ).distinct()
+            kept_r = _persist(
+                kept.join(flags, kept["clip_id"] == flags["rid"], "left_semi")
+            )
+            kept_o = kept.join(flags, kept["clip_id"] == flags["rid"], "left_anti")
+            raw = side_join(kept_r, kept, F.lit(True)).unionByName(
+                side_join(kept_o, kept_r, F.lit(True))
+            )
 
     return _pairs_from_raw(raw, cfg, nb, n_channels, use_pcm), dropped
+
+
+def _raw_touching(raw: DataFrame, restrict_ids: DataFrame) -> DataFrame:
+    """Post-filter raw pair rows to those touching the restricted set
+    (the non-join strategies, where expansion already happened)."""
+    flags_a = restrict_ids.select(F.col("clip_id").alias("clip_a")).distinct()
+    flags_b = restrict_ids.select(F.col("clip_id").alias("clip_b")).distinct()
+    a = raw.join(flags_a, "clip_a", "left_semi")
+    # rows whose ONLY restricted side is clip_b (a-covered rows must not
+    # repeat: the downstream channel aggregation counts raw rows)
+    b = raw.join(flags_b, "clip_b", "left_semi").join(
+        flags_a, "clip_a", "left_anti"
+    )
+    return a.unionByName(b.select(*a.columns))
 
 
 def _expand_bucket_pairs(members: DataFrame) -> DataFrame:

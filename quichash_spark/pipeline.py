@@ -251,11 +251,15 @@ def incremental_update(
     def build_candidates() -> DataFrame:
         from quichash_spark.operators.lsh import unified_candidates
 
+        # restrict_ids: pair expansion keeps the (small) new band rows on
+        # one join side, so old-x-old combinations never materialize —
+        # bucket sizes/caps still see the full corpus (batch-identical)
         pairs, dropped = unified_candidates(
-            signatures, cfg, use_pcm=use_pcm_lsh, scope=scope
+            signatures, cfg, use_pcm=use_pcm_lsh, scope=scope,
+            restrict_ids=new_ids.select(F.col("nid").alias("clip_id")),
         )
         store.append_metrics("buckets_dropped", dropped)
-        return _touching_new(pairs)
+        return pairs
 
     try:
         candidates = _stage(store, "candidates", build_candidates, timings)

@@ -83,3 +83,35 @@ def test_slim_signatures_equivalent_buckets(spark, tiny_clips):
     cf = {tuple(r) for r in containment_candidates(full, CLIPS_CONFIG).collect()}
     cs = {tuple(r) for r in containment_candidates(slim, CLIPS_CONFIG).collect()}
     assert cf == cs and cf
+
+
+def test_unified_candidates_restrict_ids_equals_postfilter(spark, tiny_clips):
+    """restrict_ids (the incremental expansion shape) must produce
+    EXACTLY the pairs of the unrestricted run that touch the set —
+    same channel sources, same pcm-hit thresholding — for both the
+    join strategy (one-sided expansion) and the agg strategy
+    (post-filter of raw rows)."""
+    from pyspark.sql import functions as F
+
+    from quichash_spark.config import CLIPS_CONFIG
+    from quichash_spark.functions.udfs import compute_signatures
+    from quichash_spark.operators.lsh import unified_candidates
+
+    sigs = compute_signatures(tiny_clips, CLIPS_CONFIG, include_minhash=False)
+    sigs = sigs.localCheckpoint(eager=True)
+    new_ids = sigs.select("clip_id").filter(F.col("clip_id") >= "clip_00000150")
+
+    full, _ = unified_candidates(sigs, CLIPS_CONFIG)
+    want = sorted(
+        (r["clip_a"], r["clip_b"], r["source"])
+        for r in full.collect()
+        if r["clip_a"] >= "clip_00000150" or r["clip_b"] >= "clip_00000150"
+    )
+    for strategy in ("join", "agg"):
+        got_df, _ = unified_candidates(
+            sigs, CLIPS_CONFIG, strategy=strategy, restrict_ids=new_ids
+        )
+        got = sorted(
+            (r["clip_a"], r["clip_b"], r["source"]) for r in got_df.collect()
+        )
+        assert got == want, strategy
