@@ -220,8 +220,11 @@ _decode_ima_adpcm = (
 
 
 # ---------------------------------------------------------------------------
-# RIFF/WAVE container (PCM format 1 only; multi-channel integer-mean
-# downmix to mono so every decoder in CODECS emits 1-D int16)
+# RIFF/WAVE container: PCM (8/16/24/32-bit), IEEE float (3), A-law (6),
+# mu-law (7), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, via its SubFormat
+# code).  Multi-channel integer-mean downmix to mono so every decoder
+# in CODECS emits 1-D int16; wider-than-16-bit samples keep their top
+# 16 bits (the dedup channel's common representation).
 # ---------------------------------------------------------------------------
 
 
@@ -235,27 +238,57 @@ def _decode_wav(data: bytes) -> np.ndarray:
         sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = data[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
-            fmt = (
-                int.from_bytes(body[0:2], "little"),   # audio format
-                int.from_bytes(body[2:4], "little"),   # channels
-                int.from_bytes(body[14:16], "little"), # bits/sample
-            )
+            fmt = body
         elif cid == b"data":
             raw = body
         pos += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, bits = fmt
-    if audio_format != 1 or channels < 1:
-        raise ValueError(f"unsupported wav format {audio_format}")
-    if bits == 16:
-        samples = np.frombuffer(raw, dtype="<i2")
-    elif bits == 8:  # 8-bit wav is unsigned by spec
-        samples = (
-            np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
-        ) << 8
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code in
+        if len(fmt) < 26:       # the SubFormat GUID's first two bytes
+            raise ValueError("wav extensible fmt chunk truncated")
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if channels < 1:
+        raise ValueError("wav channel count must be >= 1")
+    raw = bytes(raw)
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            samples = np.frombuffer(raw, dtype="<i2")
+        elif bits == 8:  # 8-bit wav is unsigned by spec
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+            ) << 8
+        elif bits == 24:  # packed 3-byte LE; keep the top 16 bits
+            m = (len(raw) // 3) * 3
+            b3 = np.frombuffer(raw, np.uint8, m).reshape(-1, 3)
+            i32 = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            i32 = (i32 ^ 0x800000) - 0x800000  # sign-extend 24 bits
+            samples = (i32 >> 8).astype(np.int16)
+        elif bits == 32:
+            samples = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
+        else:
+            raise ValueError(f"unsupported wav bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else ("<f8" if bits == 64 else None)
+        if dt is None:
+            raise ValueError(f"unsupported float wav bit depth {bits}")
+        f = np.frombuffer(raw, dtype=dt)
+        samples = np.clip(
+            np.round(f * 32767.0), -32768, 32767
+        ).astype(np.int16)
+    elif audio_format == 6:  # A-law payload inside WAVE
+        samples = _decode_alaw(raw)
+    elif audio_format == 7:  # mu-law payload inside WAVE
+        samples = _decode_mulaw(raw)
     else:
-        raise ValueError(f"unsupported wav bit depth {bits}")
+        raise ValueError(f"unsupported wav format {audio_format}")
     if channels > 1:
         usable = (samples.size // channels) * channels
         samples = (

@@ -83,8 +83,9 @@ def test_wav_stereo_integer_downmix():
 def test_wav_malformed_is_surfaced_not_fatal():
     assert audio.decode_pcm(b"RIFFxxxx", "wav") is None  # truncated
     assert audio.decode_pcm(b"not audio at all", "wav") is None
-    # float wav (format 3) unsupported -> None, never a crash
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    # MS-ADPCM (format 2) unsupported -> None, never a crash (float
+    # format 3 DECODES as of r5 — see the WAV format-matrix tests)
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)
     assert audio.decode_pcm(_wav_bytes(fmt, b"\x00" * 8), "wav") is None
 
 
@@ -939,3 +940,76 @@ def test_bmp_sub8_uncompressed_and_32bit():
     off = 14 + 40
     data = b"BM" + _s.pack("<IHHI", off + len(px), 0, 0, off) + hdr + px
     np.testing.assert_array_equal(decode_bmp(data), img)
+
+
+# ---------------------------------------------------------------------------
+# WAV format matrix (r5): 24/32-bit PCM, IEEE float, G.711-in-WAV,
+# WAVE_FORMAT_EXTENSIBLE
+# ---------------------------------------------------------------------------
+
+
+def _wav(fmt_code, channels, bits, payload, extensible=False):
+    import struct
+
+    if extensible:
+        sub = (
+            struct.pack("<H", fmt_code) + b"\x00\x00"
+            + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        )
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, channels, 8000, 8000, 2, bits)
+            + struct.pack("<H", 22) + struct.pack("<HI", bits, 1) + sub
+        )
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, 8000, 8000, 2, bits)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_wav_24_and_32_bit_keep_top_16():
+    from quichash_spark.functions.audio import _decode_wav
+
+    s16 = np.random.default_rng(51).integers(-32768, 32768, 64, dtype=np.int16)
+    b = bytearray()
+    for v in (s16.astype(np.int32) << 8) | 0x5A:  # low-byte noise drops
+        b += int(v & 0xFFFFFF).to_bytes(3, "little")
+    np.testing.assert_array_equal(_decode_wav(_wav(1, 1, 24, bytes(b))), s16)
+    i32 = (s16.astype(np.int32) << 16) | 0x1234
+    np.testing.assert_array_equal(
+        _decode_wav(_wav(1, 1, 32, i32.astype("<i4").tobytes())), s16
+    )
+
+
+def test_wav_float_and_g711_formats():
+    from quichash_spark.functions.audio import (
+        _decode_alaw, _decode_mulaw, _decode_wav,
+    )
+
+    rng = np.random.default_rng(52)
+    s16 = rng.integers(-32768, 32768, 64, dtype=np.int16)
+    f = (s16.astype(np.float64) / 32767.0).astype("<f4")
+    got = _decode_wav(_wav(3, 1, 32, f.tobytes()))
+    assert np.abs(got.astype(int) - s16.astype(int)).max() <= 1
+    law = rng.integers(0, 256, 100, dtype=np.uint8).tobytes()
+    np.testing.assert_array_equal(
+        _decode_wav(_wav(6, 1, 8, law)), _decode_alaw(law)
+    )
+    np.testing.assert_array_equal(
+        _decode_wav(_wav(7, 1, 8, law)), _decode_mulaw(law)
+    )
+
+
+def test_wav_extensible_subformat_resolves():
+    from quichash_spark.functions.audio import _decode_wav
+
+    s16 = np.random.default_rng(53).integers(-32768, 32768, 32, dtype=np.int16)
+    got = _decode_wav(_wav(1, 1, 16, s16.astype("<i2").tobytes(), extensible=True))
+    np.testing.assert_array_equal(got, s16)
+
+
+def test_wav_unknown_format_still_rejected():
+    from quichash_spark.functions.audio import _decode_wav
+
+    with pytest.raises(ValueError, match="unsupported wav format"):
+        _decode_wav(_wav(2, 1, 16, b"\x00" * 32))  # MS-ADPCM: not handled
