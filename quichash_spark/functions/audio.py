@@ -246,6 +246,7 @@ def _decode_wav(data: bytes) -> np.ndarray:
         raise ValueError("missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code in
         if len(fmt) < 26:       # the SubFormat GUID's first two bytes
@@ -287,6 +288,16 @@ def _decode_wav(data: bytes) -> np.ndarray:
         samples = _decode_alaw(raw)
     elif audio_format == 7:  # mu-law payload inside WAVE
         samples = _decode_mulaw(raw)
+    elif audio_format == 2:  # MS-ADPCM (mono blocks)
+        if channels != 1:
+            raise ValueError("MS-ADPCM wav: mono only")
+        samples = _decode_msadpcm_blocks(raw, block_align)
+        channels = 1
+    elif audio_format == 0x11:  # IMA ADPCM inside WAVE (mono blocks)
+        if channels != 1:
+            raise ValueError("IMA-ADPCM wav: mono only")
+        samples = _decode_ima_wav_blocks(raw, block_align)
+        channels = 1
     else:
         raise ValueError(f"unsupported wav format {audio_format}")
     if channels > 1:
@@ -296,6 +307,68 @@ def _decode_wav(data: bytes) -> np.ndarray:
             // channels
         ).astype(np.int16)
     return samples
+
+
+# MS-ADPCM spec constants (the published coefficient/adaptation tables)
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _decode_msadpcm_blocks(raw: bytes, block_align: int) -> np.ndarray:
+    """Mono MS-ADPCM (WAV format 2): per block — predictor index byte,
+    initial delta int16, sample1 int16, sample2 int16, then high-nibble-
+    first 4-bit codes.  Output per block: sample2, sample1, decoded."""
+    if block_align < 7:
+        raise ValueError("MS-ADPCM block align too small")
+    out: list[int] = []
+    for off in range(0, len(raw) - 6, block_align):
+        blk = raw[off : off + block_align]
+        if len(blk) < 7:
+            break
+        pidx = blk[0]
+        if pidx >= len(_MS_COEF1):
+            raise ValueError("MS-ADPCM predictor index out of range")
+        c1, c2 = _MS_COEF1[pidx], _MS_COEF2[pidx]
+        delta = int.from_bytes(blk[1:3], "little", signed=True)
+        s1 = int.from_bytes(blk[3:5], "little", signed=True)
+        s2 = int.from_bytes(blk[5:7], "little", signed=True)
+        out.append(s2)
+        out.append(s1)
+        for byte in blk[7:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                signed = nib - 16 if nib >= 8 else nib
+                pred = (s1 * c1 + s2 * c2) >> 8
+                s = max(-32768, min(32767, pred + signed * delta))
+                s2, s1 = s1, s
+                delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                out.append(s)
+    return np.asarray(out, dtype=np.int16)
+
+
+def _decode_ima_wav_blocks(raw: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM inside WAVE (format 0x11): per block — predictor
+    int16, step index byte, reserved byte, then low-nibble-first codes
+    (the shared :func:`_ima_decode_nibbles` recurrence)."""
+    if block_align < 4:
+        raise ValueError("IMA wav block align too small")
+    parts: list[np.ndarray] = []
+    for off in range(0, len(raw) - 3, block_align):
+        blk = raw[off : off + block_align]
+        if len(blk) < 4:
+            break
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = max(0, min(88, blk[2]))
+        body = np.frombuffer(blk, np.uint8, len(blk) - 4, 4)
+        nibbles = np.empty(body.size * 2, dtype=np.uint8)
+        nibbles[0::2] = body & 0x0F
+        nibbles[1::2] = body >> 4
+        parts.append(np.array([pred], dtype=np.int16))
+        parts.append(_ima_decode_nibbles(nibbles, pred, idx))
+    if not parts:
+        return np.empty(0, dtype=np.int16)
+    return np.concatenate(parts)
 
 
 def encode_wav(pcm: np.ndarray, sr_hz: int = 8000) -> bytes:

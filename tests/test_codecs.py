@@ -83,9 +83,9 @@ def test_wav_stereo_integer_downmix():
 def test_wav_malformed_is_surfaced_not_fatal():
     assert audio.decode_pcm(b"RIFFxxxx", "wav") is None  # truncated
     assert audio.decode_pcm(b"not audio at all", "wav") is None
-    # MS-ADPCM (format 2) unsupported -> None, never a crash (float
-    # format 3 DECODES as of r5 — see the WAV format-matrix tests)
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)
+    # MP3-in-WAV (format 0x55) unsupported -> None, never a crash
+    # (float format 3 and ADPCM formats 2/0x11 DECODE as of r5)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 32000, 4, 0)
     assert audio.decode_pcm(_wav_bytes(fmt, b"\x00" * 8), "wav") is None
 
 
@@ -948,7 +948,8 @@ def test_bmp_sub8_uncompressed_and_32bit():
 # ---------------------------------------------------------------------------
 
 
-def _wav(fmt_code, channels, bits, payload, extensible=False):
+def _wav(fmt_code, channels, bits, payload, extensible=False,
+         block_align=2):
     import struct
 
     if extensible:
@@ -957,11 +958,13 @@ def _wav(fmt_code, channels, bits, payload, extensible=False):
             + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
         )
         fmt = (
-            struct.pack("<HHIIHH", 0xFFFE, channels, 8000, 8000, 2, bits)
+            struct.pack("<HHIIHH", 0xFFFE, channels, 8000, 8000,
+                        block_align, bits)
             + struct.pack("<H", 22) + struct.pack("<HI", bits, 1) + sub
         )
     else:
-        fmt = struct.pack("<HHIIHH", fmt_code, channels, 8000, 8000, 2, bits)
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, 8000, 8000,
+                          block_align, bits)
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(payload)) + payload
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
@@ -1012,4 +1015,82 @@ def test_wav_unknown_format_still_rejected():
     from quichash_spark.functions.audio import _decode_wav
 
     with pytest.raises(ValueError, match="unsupported wav format"):
-        _decode_wav(_wav(2, 1, 16, b"\x00" * 32))  # MS-ADPCM: not handled
+        _decode_wav(_wav(0x55, 1, 16, b"\x00" * 32))  # MP3-in-WAV
+
+
+# ---------------------------------------------------------------------------
+# ADPCM inside WAVE (r5): MS-ADPCM (format 2) and IMA (format 0x11)
+# ---------------------------------------------------------------------------
+
+_MS_C1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_C2 = (0, -256, 0, 64, 0, -208, -232)
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_encode_block(samples, pidx, delta0):
+    """Test-local MS-ADPCM encoder that also returns its own tracked
+    reconstruction — an independent scalar implementation of the spec
+    recurrence the decoder must reproduce EXACTLY."""
+    c1, c2 = _MS_C1[pidx], _MS_C2[pidx]
+    s2, s1 = int(samples[0]), int(samples[1])
+    out = bytearray([pidx]) + struct.pack("<hhh", delta0, s1, s2)
+    recon = [s2, s1]
+    delta = delta0
+    nibs = []
+    for s in samples[2:]:
+        pred = (s1 * c1 + s2 * c2) >> 8
+        n = max(-8, min(7, int(round((int(s) - pred) / delta))))
+        nib = n + 16 if n < 0 else n
+        dec = max(-32768, min(32767, pred + n * delta))
+        recon.append(dec)
+        s2, s1 = s1, dec
+        delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+        nibs.append(nib)
+    for i in range(0, len(nibs), 2):
+        out.append((nibs[i] << 4) | nibs[i + 1])
+    return bytes(out), recon
+
+
+def test_wav_msadpcm_decoder_matches_independent_recurrence():
+    from quichash_spark.functions.audio import _decode_wav
+
+    sig = np.random.default_rng(61).integers(
+        -32768, 32768, 3 * 116, dtype=np.int16
+    )
+    blocks, recon_all = b"", []
+    for k, pidx in zip(range(3), (0, 3, 6)):
+        blk, recon = _ms_encode_block(sig[k * 116:(k + 1) * 116], pidx, 256)
+        blocks += blk
+        recon_all.extend(recon)
+    got = _decode_wav(_wav(2, 1, 4, blocks, block_align=64))
+    np.testing.assert_array_equal(got, np.array(recon_all, np.int16))
+
+
+def test_wav_msadpcm_lossy_quality_on_smooth_signal():
+    from quichash_spark.functions.audio import _decode_wav, snr_db
+
+    t = np.arange(3 * 116) / 8000.0
+    sig = (6000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    blocks, orig = b"", []
+    for k in range(3):
+        seg = sig[k * 116:(k + 1) * 116]
+        blk, _ = _ms_encode_block(seg, 0, 128)
+        blocks += blk
+        orig.extend(seg.tolist())
+    got = _decode_wav(_wav(2, 1, 4, blocks, block_align=64))
+    assert snr_db(np.array(orig, np.int16), got) >= 20.0
+
+
+def test_wav_ima_blocks_match_raw_codec():
+    from quichash_spark.functions.audio import _decode_ima_adpcm, _decode_wav
+
+    rng = np.random.default_rng(62)
+    blocks, want = b"", []
+    for pred, idx in ((1234, 30), (-2000, 0), (31000, 88)):
+        body = rng.integers(0, 256, 60, dtype=np.uint8).tobytes()
+        blk = struct.pack("<hBB", pred, idx, 0) + body
+        blocks += blk
+        want.append(_decode_ima_adpcm(blk))
+    got = _decode_wav(_wav(0x11, 1, 4, blocks, block_align=64))
+    np.testing.assert_array_equal(got, np.concatenate(want))
