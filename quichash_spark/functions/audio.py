@@ -288,11 +288,10 @@ def _decode_wav(data: bytes) -> np.ndarray:
         samples = _decode_alaw(raw)
     elif audio_format == 7:  # mu-law payload inside WAVE
         samples = _decode_mulaw(raw)
-    elif audio_format == 2:  # MS-ADPCM (mono blocks)
-        if channels != 1:
-            raise ValueError("MS-ADPCM wav: mono only")
-        samples = _decode_msadpcm_blocks(raw, block_align)
-        channels = 1
+    elif audio_format == 2:  # MS-ADPCM (mono or stereo blocks)
+        if channels not in (1, 2):
+            raise ValueError("MS-ADPCM wav: mono/stereo only")
+        samples = _decode_msadpcm_blocks(raw, block_align, channels)
     elif audio_format == 0x11:  # IMA ADPCM inside WAVE (mono blocks)
         if channels != 1:
             raise ValueError("IMA-ADPCM wav: mono only")
@@ -316,34 +315,60 @@ _MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
              768, 614, 512, 409, 307, 230, 230, 230)
 
 
-def _decode_msadpcm_blocks(raw: bytes, block_align: int) -> np.ndarray:
-    """Mono MS-ADPCM (WAV format 2): per block — predictor index byte,
-    initial delta int16, sample1 int16, sample2 int16, then high-nibble-
-    first 4-bit codes.  Output per block: sample2, sample1, decoded."""
-    if block_align < 7:
+def _decode_msadpcm_blocks(raw: bytes, block_align: int,
+                           channels: int = 1) -> np.ndarray:
+    """MS-ADPCM (WAV format 2): per block, per channel — predictor
+    index byte, initial delta int16, sample1 int16, sample2 int16 (all
+    channel-interleaved in that field order), then high-nibble-first
+    4-bit codes alternating channels.  Output per block starts with the
+    interleaved sample2 then sample1 pairs, followed by the decoded
+    stream — so the caller's generic downmix sees plain interleaved
+    frames."""
+    hdr = 7 * channels
+    if block_align < hdr:
         raise ValueError("MS-ADPCM block align too small")
     out: list[int] = []
-    for off in range(0, len(raw) - 6, block_align):
+    for off in range(0, len(raw) - hdr + 1, block_align):
         blk = raw[off : off + block_align]
-        if len(blk) < 7:
+        if len(blk) < hdr:
             break
-        pidx = blk[0]
-        if pidx >= len(_MS_COEF1):
-            raise ValueError("MS-ADPCM predictor index out of range")
-        c1, c2 = _MS_COEF1[pidx], _MS_COEF2[pidx]
-        delta = int.from_bytes(blk[1:3], "little", signed=True)
-        s1 = int.from_bytes(blk[3:5], "little", signed=True)
-        s2 = int.from_bytes(blk[5:7], "little", signed=True)
-        out.append(s2)
-        out.append(s1)
-        for byte in blk[7:]:
+        c1 = [0] * channels
+        c2 = [0] * channels
+        delta = [0] * channels
+        s1 = [0] * channels
+        s2 = [0] * channels
+        for ch in range(channels):
+            pidx = blk[ch]
+            if pidx >= len(_MS_COEF1):
+                raise ValueError("MS-ADPCM predictor index out of range")
+            c1[ch], c2[ch] = _MS_COEF1[pidx], _MS_COEF2[pidx]
+        base = channels
+        for ch in range(channels):
+            delta[ch] = int.from_bytes(
+                blk[base + 2 * ch : base + 2 * ch + 2], "little", signed=True
+            )
+        base = 3 * channels
+        for ch in range(channels):
+            s1[ch] = int.from_bytes(
+                blk[base + 2 * ch : base + 2 * ch + 2], "little", signed=True
+            )
+        base = 5 * channels
+        for ch in range(channels):
+            s2[ch] = int.from_bytes(
+                blk[base + 2 * ch : base + 2 * ch + 2], "little", signed=True
+            )
+        out.extend(s2)
+        out.extend(s1)
+        ch = 0
+        for byte in blk[hdr:]:
             for nib in (byte >> 4, byte & 0x0F):
                 signed = nib - 16 if nib >= 8 else nib
-                pred = (s1 * c1 + s2 * c2) >> 8
-                s = max(-32768, min(32767, pred + signed * delta))
-                s2, s1 = s1, s
-                delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                pred = (s1[ch] * c1[ch] + s2[ch] * c2[ch]) >> 8
+                s = max(-32768, min(32767, pred + signed * delta[ch]))
+                s2[ch], s1[ch] = s1[ch], s
+                delta[ch] = max(16, (_MS_ADAPT[nib] * delta[ch]) >> 8)
                 out.append(s)
+                ch = (ch + 1) % channels
     return np.asarray(out, dtype=np.int16)
 
 

@@ -1094,3 +1094,48 @@ def test_wav_ima_blocks_match_raw_codec():
         want.append(_decode_ima_adpcm(blk))
     got = _decode_wav(_wav(0x11, 1, 4, blocks, block_align=64))
     np.testing.assert_array_equal(got, np.concatenate(want))
+
+
+def test_wav_msadpcm_stereo_decodes_and_downmixes():
+    """Stereo MS-ADPCM: per-channel headers, alternating nibbles.  Built
+    by an independent scalar encoder tracking both channel recurrences;
+    the decoder's interleaved output (through the generic downmix) must
+    equal the integer mean of the tracked reconstructions."""
+    from quichash_spark.functions.audio import _decode_wav
+
+    rng = np.random.default_rng(63)
+    n_frames = 2 + (64 - 14)  # block_align 64, stereo: 50 nibble pairs
+    L = rng.integers(-32768, 32768, n_frames, dtype=np.int16)
+    R = rng.integers(-32768, 32768, n_frames, dtype=np.int16)
+
+    def enc(samples, pidx, delta0):
+        c1, c2 = _MS_C1[pidx], _MS_C2[pidx]
+        s2, s1 = int(samples[0]), int(samples[1])
+        recon = [s2, s1]
+        delta = delta0
+        nibs = []
+        for s in samples[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            n = max(-8, min(7, int(round((int(s) - pred) / delta))))
+            nib = n + 16 if n < 0 else n
+            dec = max(-32768, min(32767, pred + n * delta))
+            recon.append(dec)
+            s2, s1 = s1, dec
+            delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+            nibs.append(nib)
+        return nibs, recon
+
+    nl, rl = enc(L, 0, 256)
+    nr, rr = enc(R, 3, 256)
+    blk = bytearray([0, 3])
+    blk += struct.pack("<hh", 256, 256)
+    blk += struct.pack("<hh", int(L[1]), int(R[1]))
+    blk += struct.pack("<hh", int(L[0]), int(R[0]))
+    inter = [v for pair in zip(nl, nr) for v in pair]
+    for i in range(0, len(inter), 2):
+        blk.append((inter[i] << 4) | inter[i + 1])
+    got = _decode_wav(_wav(2, 2, 4, bytes(blk), block_align=64))
+    want = (
+        (np.array(rl, np.int32) + np.array(rr, np.int32)) // 2
+    ).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
