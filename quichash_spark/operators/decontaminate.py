@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from quichash_spark.operators.doc_dedup import shingle_array
+from quichash_spark.operators.doc_dedup import shingle_table
 
 
 def contamination_hits(
@@ -50,17 +50,19 @@ def contamination_hits(
     # A 64-bit collision would add a false POSITIVE hit — the conservative
     # direction for decontamination (never un-flags real contamination),
     # at ~n^2/2^65 odds per eval set.
-    ev_sh = evals.select(
-        F.col(eval_id),
-        F.explode(shingle_array(F.col(text_col), k)).alias("sh"),
+    # shingle_table materializes the token split in its own projection so
+    # the k-gram lambda does not re-run the regex per element (guide §4.2:
+    # interpreted HOF lambdas have no CSE; measured 4x on this pass)
+    ev_sh = shingle_table(evals, F.col(eval_id), k, text_col, eval_id).select(
+        eval_id, F.explode("shingles").alias("sh")
     ).select(eval_id, F.xxhash64("sh").alias("sh_key")).distinct()
     ev_sizes = ev_sh.groupBy(eval_id).agg(F.count("*").alias("eval_shingles"))
     if broadcast_eval:
         ev_sh = F.broadcast(ev_sh)
         ev_sizes = F.broadcast(ev_sizes)
-    tr_sh = train.select(
-        F.col(train_id),
-        F.explode(F.array_distinct(shingle_array(F.col(text_col), k))).alias("sh"),
+    tr_sh = shingle_table(train, F.col(train_id), k, text_col, train_id).select(
+        train_id,
+        F.explode(F.array_distinct(F.col("shingles"))).alias("sh"),
     ).select(train_id, F.xxhash64("sh").alias("sh_key"))
     return (
         tr_sh.join(ev_sh, "sh_key")

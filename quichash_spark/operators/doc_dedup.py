@@ -38,8 +38,22 @@ def shingle_array(text: Column, k: int) -> Column:
 
     Semantics match hashing.shingle_hashes: < k tokens => the whole token
     sequence is the single shingle; blank => empty array.
+
+    PERF NOTE: higher-order-function lambdas are interpreted (no codegen,
+    no common-subexpression elimination), so the ``split`` inside the
+    k-gram lambda re-runs the regex tokenizer PER ARRAY ELEMENT when this
+    column is built inline — O(tokens^2) regex work per document
+    (measured 4x the whole shingle pass on the documents corpus).  Use
+    :func:`shingle_table` for DataFrame-level shingling; it materializes
+    the token split in its own projection so the lambda only slices.
     """
-    toks = F.split(F.trim(text), r"\s+")
+    return _shingles_from_tokens(
+        F.split(F.trim(text), r"\s+"), F.trim(text) == "", k
+    )
+
+
+def _shingles_from_tokens(toks: Column, blank: Column, k: int) -> Column:
+    """Shingle construction over an already-computed token array."""
     n = F.size(toks)
     kgrams = F.transform(
         F.sequence(F.lit(1), n - F.lit(k) + F.lit(1)),
@@ -47,9 +61,34 @@ def shingle_array(text: Column, k: int) -> Column:
     )
     whole = F.array(F.concat_ws(" ", toks))
     return (
-        F.when(F.trim(text) == "", F.array().cast("array<string>"))
+        F.when(blank, F.array().cast("array<string>"))
         .when(n < k, F.array_distinct(whole))
         .otherwise(F.array_distinct(kgrams))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_expr: Column, k: int, text_col: str = "text",
+    id_alias: str = "doc_id", out_col: str = "shingles",
+) -> DataFrame:
+    """(id, shingles) with the token split materialized in a separate
+    projection.
+
+    CollapseProject leaves the two projections alone (the token array is
+    referenced several times, so inlining would duplicate the regex
+    split), which keeps the split evaluated ONCE per row instead of once
+    per k-gram lambda element — same rows, ~4x faster shingle pass.
+    """
+    toks = df.select(
+        id_expr.alias(id_alias),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        (F.trim(F.col(text_col)) == "").alias("__blank"),
+    )
+    return toks.select(
+        id_alias,
+        _shingles_from_tokens(
+            F.col("__toks"), F.col("__blank"), k
+        ).alias(out_col),
     )
 
 
@@ -75,9 +114,7 @@ def ngram_jaccard_pairs(
     float hashing concerns.  Quadratic baseline — bench/scale uses
     minhash_lsh_pairs which produces the same rows.
     """
-    sh = documents.select(
-        F.col(id_col), shingle_array(F.col("text"), k).alias("shingles")
-    )
+    sh = shingle_table(documents, F.col(id_col), k, id_alias=id_col)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -166,11 +203,15 @@ def minhash_lsh_pairs(
     any pair the banding recalls (>= 1 - 1e-6 per pair at J >= 0.4) — the
     linear-shuffle scale path for the quadratic baseline.
     """
-    sigs = minhash_signatures(documents, cfg, id_col)
+    # eager checkpoint: the LSH machinery references the signature table
+    # four times (size pass, kept join, both self-join sides) — without
+    # materialization the Python MinHash kernel re-runs per branch
+    # (measured 4 MapInPandas nodes in the r5 plan, guide §4)
+    sigs = minhash_signatures(documents, cfg, id_col).localCheckpoint(eager=True)
     cands, _dropped = lsh_candidates(sigs, cfg, "minhash_text", "lsh_text")
-    sh = documents.select(
-        F.lpad(F.col(id_col).cast("string"), 12, "0").alias(id_col),
-        shingle_array(F.col("text"), k).alias("shingles"),
+    sh = shingle_table(
+        documents, F.lpad(F.col(id_col).cast("string"), 12, "0"), k,
+        id_alias=id_col,
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     uni = F.size("sa") + F.size("sb") - inter
@@ -198,7 +239,9 @@ def simhash_pairs(
     documents: DataFrame, cfg: DedupConfig = DOCS_CONFIG, id_col: str = "doc_id"
 ) -> DataFrame:
     """Pairs within SimHash Hamming radius (exact, via pigeonhole probe)."""
-    sigs = minhash_signatures(documents, cfg, id_col)
+    # eager checkpoint: the probe references sigs four times (see
+    # minhash_lsh_pairs) — one kernel pass instead of four
+    sigs = minhash_signatures(documents, cfg, id_col).localCheckpoint(eager=True)
     pairs, _ = simhash_candidates(sigs, cfg)
     return pairs.select(
         F.col("clip_a").cast("long").alias("doc_a"),

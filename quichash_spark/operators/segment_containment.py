@@ -121,36 +121,51 @@ def segment_containment_pairs(
     relation)`` — ``clip_small`` is the side with fewer windows
     (lexicographically smaller id on ties, so 'equal' rows are
     deterministic)."""
+    from pyspark.sql import Window
+
     seg = segs.select(
         "clip_id",
         "n_windows",
         F.posexplode("seg_hashes").alias("win_idx", "h"),
     )
-    # cap-before-expansion: remove hot (position, hash) keys entirely —
-    # the same discipline as the LSH band cap (operators/lsh.py)
-    hot = (
-        seg.groupBy("win_idx", "h")
-        .count()
-        .where(F.col("count") > cap)
-        .select("win_idx", "h")
+    # ONE exchange for size-count + cap-filter + member lists (the
+    # operators/lsh.py "window" shape): the window count partitions by
+    # (win_idx, h), size-1 groups (the overwhelming majority) and hot
+    # keys above the cap are dropped BEFORE any array is built, and the
+    # member-list groupBy reuses the window's partitioning.  Replaces
+    # the previous hot-key aggregation + anti-join + self-join cascade
+    # (3 exchanges + 2 sort-merge joins over the same exploded table —
+    # guide §2.4: two operations keyed the same way share one exchange).
+    w = Window.partitionBy("win_idx", "h")
+    members = (
+        seg.withColumn("gn", F.count("*").over(w))
+        .filter((F.col("gn") > 1) & (F.col("gn") <= cap))
+        .groupBy("win_idx", "h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("clip_id", "n_windows"))
+            ).alias("ms")
+        )
     )
-    capped = seg.join(hot, ["win_idx", "h"], "left_anti")
-    a = capped.select(
-        F.col("clip_id").alias("clip_a"),
-        F.col("n_windows").alias("n_win_a"),
-        "win_idx",
-        "h",
+    # i<j in-row pair expansion, whole-stage codegen: struct sort orders
+    # by clip_id (first field), so a=ms[i], b=ms[j>i] gives clip_a<clip_b
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    b = capped.select(
-        F.col("clip_id").alias("clip_b"),
-        F.col("n_windows").alias("n_win_b"),
-        "win_idx",
-        "h",
+    raw = members.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a.clip_id").alias("clip_a"),
+        F.col("p.a.n_windows").alias("n_win_a"),
+        F.col("p.b.clip_id").alias("clip_b"),
+        F.col("p.b.n_windows").alias("n_win_b"),
     )
     pairs = (
-        a.join(b, ["win_idx", "h"])
-        .where(F.col("clip_a") < F.col("clip_b"))
-        .groupBy("clip_a", "clip_b", "n_win_a", "n_win_b")
+        raw.groupBy("clip_a", "clip_b", "n_win_a", "n_win_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") == F.least("n_win_a", "n_win_b"))
     )

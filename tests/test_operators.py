@@ -454,3 +454,36 @@ def test_verify_self_sizing_persist_lands_in_scope(spark, tiny_clips):
         held = scope.dataframes
         out.filter(F.col("accepted").isNotNull()).count()
     assert all(not d.is_cached for d in held)
+
+
+def test_shingle_table_equals_inline_shingle_array(spark):
+    """shingle_table (token split materialized in its own projection —
+    the r6 HOF-lambda CSE fix) must produce exactly the rows of the
+    inline shingle_array column, including blank / short-text edges."""
+    from pyspark.sql import functions as F
+
+    from quichash_spark.operators.doc_dedup import shingle_array, shingle_table
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),
+            (1, ""),
+            (2, "   "),
+            (3, "one two"),
+            (4, "x " * 40),
+            (5, "  padded   tokens  here  "),
+        ],
+        "doc_id long, text string",
+    )
+    k = 3
+    inline = docs.select(
+        "doc_id", shingle_array(F.col("text"), k).alias("shingles")
+    )
+    two_step = shingle_table(docs, F.col("doc_id"), k, id_alias="doc_id")
+    got = {r["doc_id"]: r["shingles"] for r in two_step.collect()}
+    want = {r["doc_id"]: r["shingles"] for r in inline.collect()}
+    assert got == want
+    # the split must be materialized below the shingle projection (two
+    # Project nodes), not inlined back by CollapseProject
+    plan = two_step._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(trim(") == 1
