@@ -44,6 +44,23 @@ def content_hash(pcm: np.ndarray, transcript: str) -> str:
     return h.hexdigest()
 
 
+def content_and_pcm_hash(pcm: np.ndarray, transcript: str) -> tuple[str, str]:
+    """(content_hash(pcm, transcript), content_hash(pcm, "")) with ONE
+    sha256 pass over the PCM bytes.
+
+    Both digests share the ``pcm || 0x00`` prefix, so the second is a
+    cheap ``hashlib`` state copy instead of re-hashing the payload —
+    identical hex outputs (test-asserted), half the sha256 work in the
+    signature kernel, which computes both per clip.
+    """
+    base = hashlib.sha256()
+    base.update(np.ascontiguousarray(pcm, dtype="<i2").tobytes())
+    base.update(b"\x00")
+    full = base.copy()
+    full.update(transcript.encode("utf-8"))
+    return full.hexdigest(), base.hexdigest()
+
+
 def hash64(data: bytes) -> int:
     """Deterministic 64-bit hash of bytes (blake2b/8) as unsigned int."""
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")

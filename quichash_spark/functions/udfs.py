@@ -144,24 +144,18 @@ def signature_record_batch(
         offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
         return pa.ListArray.from_arrays(offsets, flat)
 
+    # both digests share the `pcm || 0x00` sha256 prefix — one payload
+    # pass + a hashlib state copy instead of two full passes (r6)
+    digest_pairs = [
+        hashing.content_and_pcm_hash(p, c) if p is not None else (None, None)
+        for p, c in zip(pcms, canons)
+    ]
     arrays = [
         rb.column(0),  # clip_id passes through untouched
-        pa.array(
-            [
-                hashing.content_hash(p, c) if p is not None else None
-                for p, c in zip(pcms, canons)
-            ],
-            pa.string(),
-        ),
+        pa.array([d[0] for d in digest_pairs], pa.string()),
         # pcm-only digest: lets verification decide
         # identical-audio pairs without ever re-reading bytes
-        pa.array(
-            [
-                hashing.content_hash(p, "") if p is not None else None
-                for p in pcms
-            ],
-            pa.string(),
-        ),
+        pa.array([d[1] for d in digest_pairs], pa.string()),
         *([list_arr(mh_text), list_arr(mh_pcm)] if include_minhash else []),
         list_arr(bk_text),
         list_arr(bk_pcm),

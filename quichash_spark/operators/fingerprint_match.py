@@ -68,7 +68,17 @@ def fingerprint_pairs(
     """
     if checkpoint:
         fps = fps.localCheckpoint(eager=True)
-    capped = capped_fingerprints(fps, cfg)
+    # n_occ > 1 additionally drops singleton hashes (roughly half the
+    # landmark table) before the self-join — they can never form a pair,
+    # so the join shuffles half the bytes for identical output (guide
+    # §2.3); same counts pass as the cap filter
+    counts = fps.groupBy("fp_hash").agg(F.count("*").alias("n_occ"))
+    capped = fps.join(
+        counts.filter(
+            (F.col("n_occ") > 1) & (F.col("n_occ") <= cfg.max_bucket)
+        ),
+        "fp_hash",
+    ).drop("n_occ")
     a = capped.alias("a")
     b = capped.alias("b")
     collisions = (

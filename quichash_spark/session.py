@@ -44,6 +44,19 @@ def get_spark(
         # bucket caps bound per-key fan-out, and AQE skew-split still
         # applies to shuffled-hash joins.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # InferFiltersFromGenerate infers `size(child)>0` under every
+        # explode and predicate pushdown then INLINES the generator child
+        # into the scan filter — for computed-array children (shingle
+        # CASEs, band-key concats) the whole expensive expression is
+        # re-evaluated per input row a second time (measured 2.6x on
+        # decontaminate_hits; 19 split() copies in its plan).  Our
+        # Generates sit directly on scans/projections, so the inferred
+        # filter never saves a shuffle — excluding the rule is plan-only
+        # (never changes results).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Arrow for every pandas UDF / mapInPandas exchange; bounded batch
         # size so large binary audio rows don't accumulate per batch.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
