@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _kmeans_update(points: "np.ndarray", assign: "np.ndarray",
+                   cent: "np.ndarray") -> None:
+    """In-place centroid update, bit-identical to the per-centroid
+    ``points[assign == c].mean(axis=0)`` loop: a STABLE argsort groups
+    each centroid's members contiguously in their original row order, so
+    each slice holds exactly the rows the boolean mask selected, in the
+    same order — ``mean``'s pairwise summation therefore produces the
+    same floats (test-asserted) — while the O(n_cent) boolean-mask +
+    fancy-gather passes collapse into one argsort + one gather."""
+    order = np.argsort(assign, kind="stable")
+    pts = points[order]
+    a_sorted = assign[order]
+    bounds = np.searchsorted(a_sorted, np.arange(cent.shape[0] + 1))
+    for c in range(cent.shape[0]):
+        lo, hi = bounds[c], bounds[c + 1]
+        if hi > lo:
+            cent[c] = pts[lo:hi].mean(axis=0)
+
+
 def _dot(a: str, b: str):
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
@@ -329,13 +348,17 @@ def ivf_topk(
     )
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    prev_assign = None
     for _ in range(kmeans_iters):
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
-        for c in range(centroids.shape[0]):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        # assignment fixpoint => the update recomputes identical means and
+        # every later iteration is a no-op; breaking here is bit-identical
+        # to running out the iteration budget (test-asserted)
+        if prev_assign is not None and np.array_equal(assign, prev_assign):
+            break
+        prev_assign = assign
+        _kmeans_update(sample, assign, centroids)
 
     @F.pandas_udf(IntegerType())
     def nearest_cell(vecs: pd.Series) -> pd.Series:
@@ -401,13 +424,15 @@ def train_pq_codebooks(sample: "np.ndarray", m: int, n_cent: int,
         cent = sub[
             rng.choice(len(sub), size=min(n_cent, len(sub)), replace=False)
         ].copy()
+        prev_a = None
         for _ in range(iters):
             d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             a = d.argmin(axis=1)
-            for c in range(cent.shape[0]):
-                mem = sub[a == c]
-                if len(mem):
-                    cent[c] = mem.mean(axis=0)
+            # fixpoint => identical means from here on (see ivf_topk)
+            if prev_a is not None and np.array_equal(a, prev_a):
+                break
+            prev_a = a
+            _kmeans_update(sub, a, cent)
         books.append(cent)
     return np.stack(books)
 

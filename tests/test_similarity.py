@@ -126,3 +126,28 @@ def test_neardup_ann_bucket_cap_drops_only_capped(spark, tiny_clips):
         bucket_cap=10_000, **ANN_NEARDUP_PARAMS,
     ).count()
     assert generous == uncapped > 0
+
+
+def test_kmeans_update_bit_identical_to_masked_means():
+    """The r6 argsort-grouped centroid update must reproduce the
+    per-centroid boolean-mask means EXACTLY (same members, same row
+    order, same pairwise summation) — sim_ivf/sim_pq outputs depend on
+    these floats bit-for-bit."""
+    import numpy as np
+
+    from quichash_spark.operators.similarity import _kmeans_update
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(500, 8))
+    cent_ref = pts[rng.choice(500, size=16, replace=False)].copy()
+    cent_new = cent_ref.copy()
+    for _ in range(5):
+        d = ((pts[:, None, :] - cent_ref[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(16):
+            mem = pts[a == c]
+            if len(mem):
+                cent_ref[c] = mem.mean(axis=0)
+        d2 = ((pts[:, None, :] - cent_new[None, :, :]) ** 2).sum(axis=2)
+        _kmeans_update(pts, d2.argmin(axis=1), cent_new)
+        assert np.array_equal(cent_ref, cent_new)
