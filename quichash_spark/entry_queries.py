@@ -880,7 +880,10 @@ def q_clips_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quichash_spark.operators.containment import containment_candidates
 
     clips = materialized_clips(spark, _clips_n(sf_dir))
-    sigs = compute_signatures(clips, CLIPS_CONFIG)
+    # eager checkpoint: containment references the signature table three
+    # times (band sizes, kept join, texts) — without materialization the
+    # Arrow decode kernel re-runs per branch (r6; the doc_dedup pattern)
+    sigs = compute_signatures(clips, CLIPS_CONFIG).localCheckpoint(eager=True)
     return containment_candidates(sigs, CLIPS_CONFIG)
 
 

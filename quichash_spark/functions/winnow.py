@@ -102,6 +102,12 @@ def fingerprint_overlap_pairs(documents: DataFrame, min_shared: int = 2) -> Data
     """Pairs sharing >= min_shared winnowing fingerprints — the
     copy-detection join: explode fingerprints, self-join on the hash,
     count shared per pair (same shuffle shape as MinHash LSH banding)."""
+    # NOT checkpointed (r6, measured): the winnow kernel is cheap (~0.1 s
+    # per pass at sf0.1), and a localCheckpoint here erases the parquet
+    # size statistics the planner needs to broadcast the size/kept joins —
+    # measured 2.6 s -> 10.6 s WITH a checkpoint.  Recomputing the kernel
+    # per branch is the cheaper side of that trade, unlike the 128-perm
+    # MinHash kernel in doc_dedup.
     fp = winnow_fingerprints(documents)
     ex = fp.select("doc_id", F.explode("fingerprints").alias("fp"))
     sizes = ex.groupBy("fp").agg(F.count("*").alias("n"))

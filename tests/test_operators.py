@@ -487,3 +487,40 @@ def test_shingle_table_equals_inline_shingle_array(spark):
     # Project nodes), not inlined back by CollapseProject
     plan = two_step._jdf.queryExecution().executedPlan().toString()
     assert plan.count("split(trim(") == 1
+
+
+def test_scan_task_pairs_equals_per_bucket_scan():
+    """The r6 task-bucketed containment scan must reproduce the
+    per-(band_idx, band_key) applyInPandas groups exactly — including
+    int64 thash fidelity above 2^53 (a bare [] column is float64 and a
+    careless concat upcasts, silently mangling hash low bits)."""
+    import numpy as np
+    import pandas as pd
+
+    from quichash_spark.operators.containment import (
+        _bucket_pairs, _scan_task_pairs,
+    )
+
+    big = np.int64(-5123798661256609751)  # not float64-representable
+    pdf = pd.DataFrame({
+        "band_idx": [0, 0, 1, 1, 2],
+        "band_key": [5, 5, 7, 7, 9],
+        "transcript": ["a b c d", "b c", "a b c d", "b c", "lone"],
+        "thash": [np.int64(11), big, np.int64(11), big, np.int64(33)],
+        "task_bucket": [3, 3, 3, 3, 3],
+    })
+    got = _scan_task_pairs(pdf, "auto")
+    want = pd.concat(
+        [
+            _bucket_pairs(g, "auto")
+            for _, g in pdf.groupby(["band_idx", "band_key"], sort=False)
+            if len(_bucket_pairs(g, "auto"))
+        ],
+        ignore_index=True,
+    )
+    assert got["thash_small"].dtype == np.int64
+    pd.testing.assert_frame_equal(got, want)
+    assert big in set(got["thash_small"])
+    # all-empty input keeps int64 columns (never float64)
+    empty = _scan_task_pairs(pdf[pdf.band_idx == 2], "auto")
+    assert len(empty) == 0 and empty["thash_small"].dtype == np.int64
